@@ -1,0 +1,24 @@
+"""Test harness: force an 8-virtual-device CPU platform before jax imports.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the driver separately
+dry-runs the multichip path); golden-value tests use torch (CPU) as an
+independent numerical oracle.
+"""
+
+import os
+
+# Must run before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1338)
