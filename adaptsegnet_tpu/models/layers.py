@@ -1,0 +1,181 @@
+"""Shared building blocks: conv/pool/norm with torch-parity semantics.
+
+Everything is NHWC (channels on TPU lanes) with HWIO kernels. Parameter
+initializers reproduce the reference's init schemes so from-scratch training
+matches: normal(0, 0.01) convs for the DeepLab nets
+(reference model/deeplab_multi.py:144-150), torch's default
+kaiming-uniform(+uniform bias) for the discriminator, and xavier-normal
+(gain 0.02) for the Warper (reference model/warper.py:147-178).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def normal_conv_init(stddev: float = 0.01):
+    """weight ~ N(0, stddev): the reference's DeepLab conv init."""
+    return nn.initializers.normal(stddev=stddev)
+
+
+def torch_default_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) on OIHW fan_in.
+
+    For HWIO shape (kh, kw, cin, cout): fan_in = kh*kw*cin; bound =
+    sqrt(6 / ((1 + a^2) * fan_in)) = 1/sqrt(fan_in) * sqrt(6/(1+5)) =
+    1/sqrt(fan_in). Used for the FCDiscriminator, which the reference leaves
+    at torch defaults (model/discriminator.py:10-14).
+    """
+    kh, kw, cin, _ = shape
+    fan_in = kh * kw * cin
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_default_bias_init(fan_in: int):
+    """torch nn.Conv2d default bias: uniform(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def xavier_normal_init(gain: float = 0.02):
+    """torch init.xavier_normal_(gain): N(0, gain^2 * 2/(fan_in+fan_out))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape
+        fan_in = kh * kw * cin
+        fan_out = kh * kw * cout
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1/4x4... conv wrapper pinning torch-parity attributes.
+
+    `padding` is symmetric int padding (torch style); `dilation` applies to
+    the kernel. Computation runs in `dtype` (bf16 for speed, f32 for parity);
+    params are always stored f32.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int]
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = normal_conv_init(0.01)
+    bias_init: Callable | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ks = (
+            self.kernel_size
+            if isinstance(self.kernel_size, tuple)
+            else (self.kernel_size, self.kernel_size)
+        )
+        bias_init = self.bias_init or nn.initializers.zeros_init()
+        return nn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm with torch semantics (eps 1e-5, momentum 0.1).
+
+    `use_running_average=True` (the default everywhere in the backbone)
+    normalizes with stored statistics — the TPU-native stand-in for the
+    reference's frozen-affine BN whose running stats come from the released
+    checkpoints (model/deeplab_multi.py:66-78). The Warper's live BN passes
+    `use_running_average=False` and updates the 'batch_stats' collection.
+    """
+
+    momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch == torch 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
+def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1, ceil_mode=...).
+
+    ceil_mode=False: floor output size (ResNetMulti, model/deeplab_multi.py:135).
+    ceil_mode=True: ceil output size via extra -inf padding on the bottom/right
+    (single-head 'Oracle' ResNet, model/deeplab.py:130).
+    """
+    n, h, w, c = x.shape
+
+    def out_len(L):
+        eff = L + 2 - 3
+        return (eff + 1) // 2 + 1 if ceil_mode and eff % 2 else eff // 2 + 1
+
+    oh, ow = out_len(h), out_len(w)
+    # Padding needed so that the sliding window covers exactly oh/ow steps.
+    ph_extra = max(0, (oh - 1) * 2 + 3 - (h + 2))
+    pw_extra = max(0, (ow - 1) * 2 + 3 - (w + 2))
+    # -inf identity keeps reduce_window on the differentiable max-pool path
+    # (jax only recognizes the max monoid — and thus supplies the VJP — when
+    # the init value is exactly -inf).
+    neg = -jnp.inf
+    y = jnp.pad(
+        x,
+        ((0, 0), (1, 1 + ph_extra), (1, 1 + pw_extra), (0, 0)),
+        constant_values=neg,
+    )
+    return jax.lax.reduce_window(
+        y,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def max_pool_2x2_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=2, stride=2) — VGG-16 pools (torchvision)."""
+    neg = -jnp.inf
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * negative_slope)

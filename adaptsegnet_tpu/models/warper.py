@@ -1,0 +1,160 @@
+"""Flow-field Warper: U-Net encoder/decoder predicting a 2-channel flow.
+
+Fork-added module (reference model/warper.py, model/custom_layers.py). With
+the shipped defaults — Warper(norm='Batch', warp_channels=2, num_layers=8,
+transpose=False) — the architecture is:
+
+  Encoder (SkipConnectionEncode, model/warper.py:36-64): seven 4x4/stride-2
+  convs (3->64, then LeakyReLU(0.2)+conv+BN pairs 64->128->256->512 and
+  3x 512->512), skips collected after every conv (reversed), then
+  EncoderOutput LeakyReLU+4x4/2 conv 512->512. Total downsample x256 for the
+  skips, x512 for the latent (512x1024 input -> 1x2 latent).
+
+  Decoder (SkipConnectionDecode with num_layers = 8-1 = 7,
+  model/warper.py:98-144): eight up stages, each ReLU -> bilinear x2
+  (align_corners=False; transpose=False path of custom_layers.py:129,154) ->
+  3x3 conv -> BN (except the biased, BN-free output conv). U-Net concat of
+  skip[i-1] BEFORE stage i for i >= 1. Channel plan: 512 -> [cat 1024] 512
+  -> [cat] 512 -> [cat] 512 -> [cat] 256 -> [cat 512] 128 -> [cat 256] 64 ->
+  output conv -> 2. The flow comes out at full input resolution.
+
+  The `Connection` module exists in the reference but its forward is never
+  called (and would IndexError, model/warper.py:27-33); not rebuilt.
+
+BN here is LIVE (affine + running stats updated, custom_layers.py BatchNorm
+with track_running_stats=True) unlike the frozen backbone BN — pass
+`train=True` during training and collect 'batch_stats' mutations.
+
+Init: xavier-normal gain 0.02 for convs, BN weight ~ N(1, 0.02)
+(model/warper.py:147-178 'xavier' path).
+
+Input-size constraint: H and W must be multiples of 256 and H x W >= 512x512
+(the latent must be >= 1x1), satisfied by the 512x1024 training resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from adaptsegnet_tpu.models.layers import Conv2d, leaky_relu, xavier_normal_init
+from adaptsegnet_tpu.ops.resize import resize_bilinear_half_pixel
+
+Dtype = Any
+
+_XAVIER = xavier_normal_init(0.02)
+
+
+def _bn_scale_init(key, shape, dtype=jnp.float32):
+    """BN weight ~ N(1.0, 0.02): reference init_weights BatchNorm branch."""
+    import jax
+
+    return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+
+class _WarperBN(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            scale_init=_bn_scale_init,
+            name="bn",
+        )(x)
+
+
+class WarperEncoder(nn.Module):
+    """SkipConnectionEncode: returns (latent, skips) — skips reversed."""
+
+    num_layers: int = 8
+    out_channel: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        conv = lambda cout, name: Conv2d(
+            cout, 4, stride=2, padding=1, use_bias=False,
+            kernel_init=_XAVIER, dtype=self.dtype, name=name,
+        )
+        widths = [64, 128, 256, 512] + [512] * (self.num_layers - 5)
+        skips = []
+        out = x
+        for i, cout in enumerate(widths):
+            if i > 0:
+                out = leaky_relu(out, 0.2)
+            out = conv(cout, f"down{i}")(out)
+            if i > 0:
+                out = _WarperBN(dtype=self.dtype, name=f"down{i}_bn")(out, train)
+            skips.append(out)
+        skips.reverse()
+        out = leaky_relu(out, 0.2)
+        out = Conv2d(
+            self.out_channel, 4, stride=2, padding=1, use_bias=False,
+            kernel_init=_XAVIER, dtype=self.dtype, name="out",
+        )(out)
+        return out, skips
+
+
+class WarperDecoder(nn.Module):
+    """SkipConnectionDecode (transpose=False): upsample-conv stages + skips."""
+
+    num_layers: int = 7  # driving_num_layers = warper num_layers - 1
+    out_channel: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latent, skips, train: bool = True):
+        def up_stage(x, cout, name, use_bn=True, use_bias=False):
+            x = nn.relu(x)
+            n, h, w, c = x.shape
+            x = resize_bilinear_half_pixel(x, (h * 2, w * 2))
+            x = Conv2d(
+                cout, 3, padding=1, use_bias=use_bias, kernel_init=_XAVIER,
+                dtype=self.dtype, name=f"{name}_conv",
+            )(x)
+            if use_bn:
+                x = _WarperBN(dtype=self.dtype, name=f"{name}_bn")(x, train)
+            return x
+
+        plan = (
+            [512] * (self.num_layers - 4 + 1)  # DecoderInput + Up(1024,512) x3
+            + [256, 128, 64]
+        )
+        out = latent
+        warp_list = [out]
+        for i, cout in enumerate(plan):
+            if i != 0:
+                out = jnp.concatenate([skips[i - 1], out], axis=-1)
+            out = up_stage(out, cout, f"up{i}")
+            warp_list.append(out)
+        out = up_stage(out, self.out_channel, "output", use_bn=False,
+                       use_bias=True)
+        return out, warp_list
+
+
+class Warper(nn.Module):
+    """forward(pose) -> (flow, warp_list); flow is NHW2 at input resolution.
+
+    flow[..., 0] displaces x (width), flow[..., 1] y (height), consumed by
+    ops.sampling.warp_with_flow (tanh + identity grid + clamp + grid_sample).
+    """
+
+    num_layers: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose, train: bool = True):
+        latent, skips = WarperEncoder(
+            num_layers=self.num_layers, dtype=self.dtype, name="encoder_d"
+        )(pose, train)
+        flow, warp_list = WarperDecoder(
+            num_layers=self.num_layers - 1, dtype=self.dtype, name="decoder_d"
+        )(latent, skips, train)
+        return flow, warp_list

@@ -53,6 +53,50 @@ def _interp_matrix(in_len: int, out_len: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _interp_matrix_half_pixel(in_len: int, out_len: int) -> np.ndarray:
+    """(out_len, in_len) align_corners=False (half-pixel) interp matrix.
+
+    src = (o + 0.5) * in/out - 0.5, clamped; matches torch interpolate
+    (mode='bilinear', align_corners=False) — the default of the modern
+    nn.Upsample used inside the Warper decoder (custom_layers.py:129,154,182).
+    """
+    m = np.zeros((out_len, in_len), dtype=np.float64)
+    scale = in_len / out_len
+    src = np.clip((np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5,
+                  0.0, in_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    frac = src - lo
+    rows = np.arange(out_len)
+    np.add.at(m, (rows, lo), 1.0 - frac)
+    np.add.at(m, (rows, hi), frac)
+    return m.astype(np.float32)
+
+
+def _separable_resize(x: jnp.ndarray, out_hw: tuple[int, int], matrix_fn) -> jnp.ndarray:
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    mh = jnp.asarray(matrix_fn(h, oh))
+    mw = jnp.asarray(matrix_fn(w, ow))
+    y = x.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,nhwc->nowc", mh, y, precision=hp)
+    y = jnp.einsum("pw,nhwc->nhpc", mw, y, precision=hp)
+    y = y.astype(x.dtype)
+    return y[0] if squeeze else y
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=False (half-pixel) semantics."""
+    return _separable_resize(x, out_hw, _interp_matrix_half_pixel)
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Resize NHWC (or HWC) `x` to `out_hw` with align_corners=True bilinear.
 
@@ -61,25 +105,9 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     Computation runs in float32 regardless of input dtype (matching torch's
     float32 interpolate); the result is cast back to `x.dtype`.
     """
-    squeeze = x.ndim == 3
-    if squeeze:
-        x = x[None]
-    n, h, w, c = x.shape
-    oh, ow = out_hw
-    if (h, w) == (oh, ow):
-        return x[0] if squeeze else x
-    mh = jnp.asarray(_interp_matrix(h, oh))
-    mw = jnp.asarray(_interp_matrix(w, ow))
-    y = x.astype(jnp.float32)
-    # HIGHEST keeps the interpolation in true f32 on the MXU (parity with
-    # torch's float32 interpolate; default TPU matmul precision is bf16-ish).
-    hp = jax.lax.Precision.HIGHEST
-    # (oh, h) x (n, h, w, c) -> (n, oh, w, c)
-    y = jnp.einsum("oh,nhwc->nowc", mh, y, precision=hp)
-    # (ow, w) x (n, oh, w, c) -> (n, oh, ow, c)
-    y = jnp.einsum("pw,nhwc->nhpc", mw, y, precision=hp)
-    y = y.astype(x.dtype)
-    return y[0] if squeeze else y
+    # HIGHEST precision inside _separable_resize keeps the interpolation in
+    # true f32 on the MXU (parity with torch's float32 interpolate).
+    return _separable_resize(x, out_hw, _interp_matrix)
 
 
 def upsample_logits(logits: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

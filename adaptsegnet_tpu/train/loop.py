@@ -1,0 +1,177 @@
+"""Training driver: wires config -> data -> fused step -> snapshots/logging.
+
+The TPU rewrite of reference train_gta2cityscapes_multi.py:180-729. One
+process drives a data-parallel mesh; batches are staged by the prefetching
+pipeline with the mesh sharding; the jitted step runs G(+D) updates on
+device. Snapshots keep the reference .pth naming per mode subdir
+(source_only/single_level/multi_level) plus optional orbax full-state.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adaptsegnet_tpu.data import (
+    CityscapesDataset,
+    GTA5Dataset,
+    PrefetchIterator,
+)
+from adaptsegnet_tpu.data.pipeline import stack_collate
+from adaptsegnet_tpu.parallel import auto_mesh_size, make_mesh, replicate, shard_batch
+from adaptsegnet_tpu.train.build import build_train_state
+from adaptsegnet_tpu.train.config import TrainConfig
+from adaptsegnet_tpu.train.steps import (
+    make_adversarial_step,
+    make_source_only_step,
+)
+from adaptsegnet_tpu.utils.checkpoint import CheckpointManager, save_snapshot_pth
+from adaptsegnet_tpu.utils.logging import ScalarLogger, format_losses
+from adaptsegnet_tpu.utils import pth_interop
+
+
+def _mode_subdir(cfg: TrainConfig) -> str:
+    if cfg.source_only:
+        return "source_only"
+    return {"single-level": "single_level", "multi-level": "multi_level"}[
+        cfg.level
+    ]
+
+
+def _batch_iter(cfg: TrainConfig, mesh=None):
+    """Yield step batches shaped (iter_size, B, H, W, ...)."""
+    max_iters = cfg.num_steps * cfg.iter_size * cfg.batch_size
+    per_step = cfg.iter_size * cfg.batch_size
+    source = GTA5Dataset(
+        cfg.data_dir, cfg.data_list, max_iters=max_iters,
+        crop_size=cfg.crop_size_wh, scale=cfg.random_scale,
+        mirror=cfg.random_mirror, seed=cfg.random_seed,
+    )
+    src_it = PrefetchIterator(
+        source, per_step, collate=stack_collate({0, 1, 2}),
+        shuffle=True, seed=cfg.random_seed, num_workers=cfg.num_workers,
+    )
+    tgt_it = None
+    if not cfg.source_only:
+        target = CityscapesDataset(
+            cfg.data_dir_target, cfg.data_list_target, max_iters=max_iters,
+            crop_size=cfg.crop_size_wh_target, mirror=cfg.random_mirror,
+            set=cfg.set, seed=cfg.random_seed,
+        )
+        tgt_it = PrefetchIterator(
+            target, per_step, collate=stack_collate({0, 1}),
+            shuffle=True, seed=cfg.random_seed + 1,
+            num_workers=cfg.num_workers,
+        )
+
+    ishape = (cfg.iter_size, cfg.batch_size)
+    while True:
+        img, lab, _, _ = next(src_it)
+        batch = {
+            "images": jnp.reshape(img, ishape + img.shape[1:]),
+            "labels": jnp.reshape(
+                jnp.asarray(lab, jnp.int32), ishape + lab.shape[1:]
+            ),
+        }
+        if tgt_it is not None:
+            timg, _, _ = next(tgt_it)
+            batch["target_images"] = jnp.reshape(
+                timg, ishape + timg.shape[1:]
+            )
+        if mesh is not None:
+            batch = shard_batch(mesh, batch, batch_axis=1)
+        yield batch
+
+
+def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
+    """Run training; returns a summary dict (final losses, snapshot paths)."""
+    mesh = make_mesh(auto_mesh_size(cfg.batch_size, cfg.num_devices))
+    state, modules = build_train_state(cfg)
+    state = replicate(mesh, state)
+
+    if cfg.source_only:
+        step_fn = make_source_only_step(
+            modules["model"],
+            warper_module=modules.get("warper"),
+            input_hw=cfg.input_hw,
+            iter_size=cfg.iter_size,
+        )
+    else:
+        step_fn = make_adversarial_step(
+            modules["model"],
+            modules["discriminator"],
+            level=cfg.level,
+            gan=cfg.gan,
+            lambda_seg=cfg.lambda_seg,
+            lambda_adv1=cfg.lambda_adv_target1,
+            lambda_adv2=cfg.lambda_adv_target2,
+            input_hw=cfg.input_hw,
+            iter_size=cfg.iter_size,
+            warper_module=modules.get("warper") if cfg.level == "single-level"
+            else None,
+        )
+
+    logger = ScalarLogger(cfg.log_dir, cfg.tensorboard)
+    ckpt_mgr = (
+        CheckpointManager(osp.join(cfg.snapshot_dir, _mode_subdir(cfg), "orbax"))
+        if cfg.orbax_checkpoints
+        else None
+    )
+    if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        restored = ckpt_mgr.restore(state)
+        if restored is not None:
+            state = restored
+
+    stop = min(cfg.num_steps_stop, max_steps or cfg.num_steps_stop)
+    batches = _batch_iter(cfg, mesh=mesh)
+    metrics = {}
+    snapshots = []
+    start_step = int(jax.device_get(state.step))
+
+    def snapshot(step_tag: int):
+        gvars = {
+            "params": jax.device_get(state.generator.params),
+            "batch_stats": jax.device_get(state.generator.batch_stats),
+        }
+        dvars = lambda d: (
+            {"params": jax.device_get(d.params)} if d is not None else None
+        )
+        if cfg.model == "DeepLab":
+            save_snapshot_pth(
+                cfg.snapshot_dir, _mode_subdir(cfg), step_tag, gvars,
+                d1_variables=dvars(state.d1), d2_variables=dvars(state.d2),
+            )
+            snapshots.append(
+                osp.join(cfg.snapshot_dir, _mode_subdir(cfg),
+                         f"GTA5_{step_tag}.pth")
+            )
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(step_tag, state)
+
+    for i_iter in range(start_step, stop):
+        batch = next(batches)
+        state, metrics = step_fn(state, batch)
+        print(f"exp = {cfg.snapshot_dir}")
+        host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        print(format_losses(i_iter, cfg.num_steps, host_metrics))
+        logger.log(i_iter, host_metrics)
+
+        if i_iter >= stop - 1:
+            print("save model ...")
+            snapshot(stop)
+            break
+        if i_iter % cfg.save_pred_every == 0 and i_iter != 0:
+            print("taking snapshot ...")
+            snapshot(i_iter)
+
+    logger.close()
+    return {
+        "final_metrics": {k: float(v) for k, v in jax.device_get(metrics).items()}
+        if metrics else {},
+        "snapshots": snapshots,
+        "steps": stop,
+    }

@@ -1,0 +1,301 @@
+"""Fused jit/pjit train steps: source-only, single-level, multi-level.
+
+The reference runs up to six forward and five backward passes per iteration
+as separate CUDA launches with detach/requires_grad bookkeeping
+(train_gta2cityscapes_multi.py:385-464 single-level, :578-683 multi-level;
+SURVEY.md §3.2-3.3). Here each mode is ONE XLA program:
+
+  * the generator loss (source CE [+ lambda_seg aux CE] + lambda_adv *
+    GAN(D(softmax(target preds)), source_label)) is differentiated wrt
+    generator params only — discriminator params enter as constants, which
+    is exactly the reference's `requires_grad=False` freeze (:390-391);
+  * the discriminator losses reuse the softmax maps from the generator pass
+    through `stop_gradient` — the reference's `.detach()` (:440, :452) —
+    and are differentiated wrt discriminator params;
+  * iter-size gradient accumulation (:266, :385) is a `lax.scan` over a
+    leading micro-batch axis inside the step;
+  * all three optimizers then apply in the same program.
+
+Under a data-parallel `Mesh`, batches arrive sharded on the 'data' axis and
+XLA inserts the gradient all-reduce over ICI (replacing nn.DataParallel).
+
+Warper semantics (fork quirk, kept faithfully): in source-only and
+single-level modes the flow field predicted from the SOURCE batch warps the
+upsampled main logits — including the target branch in single-level
+(:403 computes `warper` once from source images; :421 reuses it for the
+target forward). Warper params receive no updates (never in an optimizer);
+its BN runs in batch-stats mode with running stats updated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from adaptsegnet_tpu.ops import cross_entropy_2d, gan_loss, upsample_logits
+from adaptsegnet_tpu.ops.sampling import warp_with_flow
+from adaptsegnet_tpu.train.state import TrainState
+
+SOURCE_LABEL = 0.0  # reference :363
+TARGET_LABEL = 1.0  # reference :364
+
+
+def _tree_zeros_like(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def _forward_warper(warper_module, wstate, images):
+    """Warper forward in train mode, collecting BN stat mutations."""
+    (flow, _), mut = warper_module.apply(
+        {"params": wstate.params, "batch_stats": wstate.batch_stats},
+        images,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    return flow, mut["batch_stats"]
+
+
+def _seg_forward(model, params, batch_stats, images, input_hw):
+    """Segmenter forward -> (pred1_up, pred2_up) at input resolution."""
+    pred1, pred2 = model.apply(
+        {"params": params, "batch_stats": batch_stats}, images
+    )
+    return (
+        upsample_logits(pred1, input_hw),
+        upsample_logits(pred2, input_hw),
+    )
+
+
+def make_source_only_step(
+    model,
+    warper_module=None,
+    input_hw: tuple[int, int] = (512, 1024),
+    iter_size: int = 1,
+    donate: bool = True,
+):
+    """Source-domain CE pretraining step (reference :230-314).
+
+    batch: dict(images=(iter_size, B, H, W, 3), labels=(iter_size, B, H, W)).
+    Returns (new_state, metrics{loss_seg2}).
+    """
+
+    def step(state: TrainState, batch):
+        gstate = state.generator
+
+        def micro(carry, mb):
+            grads_acc, loss_acc, wstats = carry
+            flow = None
+            if warper_module is not None:
+                flow, wstats = _forward_warper(
+                    warper_module, state.warper.replace(batch_stats=wstats),
+                    mb["images"],
+                )
+
+            def loss_fn(params):
+                _, pred2 = _seg_forward(
+                    model, params, gstate.batch_stats, mb["images"], input_hw
+                )
+                if flow is not None:
+                    pred2 = warp_with_flow(pred2, flow)
+                return cross_entropy_2d(pred2, mb["labels"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(gstate.params)
+            grads = jax.tree.map(lambda g: g / iter_size, grads)
+            return (_tree_add(grads_acc, grads), loss_acc + loss / iter_size,
+                    wstats), None
+
+        init = (
+            _tree_zeros_like(gstate.params),
+            jnp.zeros((), jnp.float32),
+            state.warper.batch_stats if state.warper is not None else None,
+        )
+        (grads, loss_seg2, wstats), _ = jax.lax.scan(micro, init, batch)
+
+        new_g = gstate.apply_gradients(grads)
+        new_warper = (
+            state.warper.replace(batch_stats=wstats)
+            if state.warper is not None
+            else None
+        )
+        new_state = state.replace(
+            step=state.step + 1, generator=new_g, warper=new_warper
+        )
+        return new_state, {"loss_seg2": loss_seg2}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_adversarial_step(
+    model,
+    discriminator,
+    level: str = "multi-level",
+    gan: str = "LS",
+    lambda_seg: float = 0.1,
+    lambda_adv1: float = 0.0002,
+    lambda_adv2: float = 0.001,
+    input_hw: tuple[int, int] = (512, 1024),
+    iter_size: int = 1,
+    warper_module=None,
+    donate: bool = True,
+):
+    """Fused G/D adversarial step (reference :316-496 and :498-722).
+
+    batch: dict(
+        images=(iter_size, B, H, W, 3),  source images
+        labels=(iter_size, B, H, W),     source labels
+        target_images=(iter_size, B, H, W, 3),
+    ).
+    Returns (new_state, metrics) with the reference's log names.
+    """
+    criterion = gan_loss(gan)
+    multi = level == "multi-level"
+    if level not in ("single-level", "multi-level"):
+        raise NotImplementedError(f"level choice {level!r} is not implemented")
+
+    def d_apply(dparams, score_maps):
+        return discriminator.apply({"params": dparams}, score_maps)
+
+    def step(state: TrainState, batch):
+        gstate = state.generator
+
+        def micro(carry, mb):
+            (g_acc, d1_acc, d2_acc, m_acc, wstats) = carry
+
+            flow = None
+            if warper_module is not None and not multi:
+                # Fork quirk: flow comes from the SOURCE images and is reused
+                # for the target forward (:403, :421).
+                flow, wstats = _forward_warper(
+                    warper_module, state.warper.replace(batch_stats=wstats),
+                    mb["images"],
+                )
+
+            def g_loss_fn(params):
+                p1_s, p2_s = _seg_forward(
+                    model, params, gstate.batch_stats, mb["images"], input_hw
+                )
+                p1_t, p2_t = _seg_forward(
+                    model, params, gstate.batch_stats, mb["target_images"],
+                    input_hw,
+                )
+                if flow is not None:
+                    p2_s = warp_with_flow(p2_s, flow)
+                    p2_t = warp_with_flow(p2_t, flow)
+
+                loss_seg2 = cross_entropy_2d(p2_s, mb["labels"])
+                loss_seg1 = (
+                    cross_entropy_2d(p1_s, mb["labels"])
+                    if multi
+                    else jnp.zeros(())
+                )
+                seg_loss = loss_seg2 + lambda_seg * loss_seg1
+
+                sm2_t = jax.nn.softmax(p2_t, axis=-1)
+                # G tries to make target preds look source-like (label 0);
+                # D params are constants here == requires_grad=False freeze.
+                loss_adv2 = criterion(
+                    d_apply(state.d2.params, sm2_t), SOURCE_LABEL
+                )
+                if multi:
+                    sm1_t = jax.nn.softmax(p1_t, axis=-1)
+                    loss_adv1 = criterion(
+                        d_apply(state.d1.params, sm1_t), SOURCE_LABEL
+                    )
+                else:
+                    sm1_t = None
+                    loss_adv1 = jnp.zeros(())
+                adv_loss = lambda_adv1 * loss_adv1 + lambda_adv2 * loss_adv2
+                total = seg_loss + adv_loss
+
+                aux = {
+                    "sm1_s": jax.nn.softmax(p1_s, axis=-1) if multi else None,
+                    "sm2_s": jax.nn.softmax(p2_s, axis=-1),
+                    "sm1_t": sm1_t,
+                    "sm2_t": sm2_t,
+                    "loss_seg1": loss_seg1,
+                    "loss_seg2": loss_seg2,
+                    "loss_adv_target1": loss_adv1,
+                    "loss_adv_target2": loss_adv2,
+                }
+                return total, aux
+
+            (_, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                gstate.params
+            )
+
+            # --- discriminator losses on detached maps (reference :440-461,
+            # :642-679): each domain contributes gan_loss / 2.
+            def d_loss_fn(dparams, sm_s, sm_t):
+                l_s = criterion(d_apply(dparams, jax.lax.stop_gradient(sm_s)),
+                                SOURCE_LABEL) / 2.0
+                l_t = criterion(d_apply(dparams, jax.lax.stop_gradient(sm_t)),
+                                TARGET_LABEL) / 2.0
+                return l_s + l_t
+
+            loss_d2, d2_grads = jax.value_and_grad(d_loss_fn)(
+                state.d2.params, aux["sm2_s"], aux["sm2_t"]
+            )
+            if multi:
+                loss_d1, d1_grads = jax.value_and_grad(d_loss_fn)(
+                    state.d1.params, aux["sm1_s"], aux["sm1_t"]
+                )
+            else:
+                loss_d1, d1_grads = jnp.zeros(()), d1_acc
+
+            scale = lambda t: jax.tree.map(lambda g: g / iter_size, t)
+            metrics = {
+                "loss_seg1": aux["loss_seg1"] / iter_size,
+                "loss_seg2": aux["loss_seg2"] / iter_size,
+                "loss_adv_target1": aux["loss_adv_target1"] / iter_size,
+                "loss_adv_target2": aux["loss_adv_target2"] / iter_size,
+                "loss_D1": loss_d1 / iter_size,
+                "loss_D2": loss_d2 / iter_size,
+            }
+            carry = (
+                _tree_add(g_acc, scale(g_grads)),
+                _tree_add(d1_acc, scale(d1_grads)) if multi else d1_acc,
+                _tree_add(d2_acc, scale(d2_grads)),
+                _tree_add(m_acc, metrics),
+                wstats,
+            )
+            return carry, None
+
+        init = (
+            _tree_zeros_like(gstate.params),
+            _tree_zeros_like(state.d1.params) if multi else None,
+            _tree_zeros_like(state.d2.params),
+            {
+                k: jnp.zeros((), jnp.float32)
+                for k in (
+                    "loss_seg1", "loss_seg2", "loss_adv_target1",
+                    "loss_adv_target2", "loss_D1", "loss_D2",
+                )
+            },
+            state.warper.batch_stats if (warper_module is not None and not multi)
+            else None,
+        )
+        (g_grads, d1_grads, d2_grads, metrics, wstats), _ = jax.lax.scan(
+            micro, init, batch
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            generator=gstate.apply_gradients(g_grads),
+            d1=state.d1.apply_gradients(d1_grads) if multi else state.d1,
+            d2=state.d2.apply_gradients(d2_grads),
+            warper=(
+                state.warper.replace(batch_stats=wstats)
+                if wstats is not None
+                else state.warper
+            ),
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: DeeplabMulti eval throughput at 512x1024 on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: images/sec/chip for the reference eval protocol — DeeplabMulti
+forward at 512x1024 + bilinear align-corners upsample of pred2 to 1024x2048
++ argmax (reference evaluate_cityscapes.py:150-169). The reference publishes
+no throughput numbers (BASELINE.json published: {}), so vs_baseline is
+reported against a conservative CUDA-8-era estimate of ~5 img/s for this
+model/protocol.
+
+Timing methodology: on this tunneled TPU backend `block_until_ready` returns
+before execution finishes, so per-call timing lies. We instead enqueue N
+executions (they serialize on the device queue), force ONE true host sync
+via a scalar device->host transfer, and subtract the idle transfer latency.
+Validated against an 8192^3 bf16 matmul reaching ~93% of v5e peak.
+
+Flags: --train benches the fused multi-level adversarial train step instead;
+--dtype float32 for the parity-precision path (default bfloat16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x) -> float:
+    """True host sync: pull a scalar derived from x."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32) if hasattr(x, "astype") else x))
+
+
+def _measure(run_once, make_sync_value, iters: int) -> float:
+    """Seconds per iteration: enqueue `iters` runs, one terminal sync."""
+    import jax.numpy as jnp
+
+    # Warmup + establish idle sync latency.
+    out = run_once()
+    _sync(make_sync_value(out))
+    t0 = time.perf_counter()
+    _sync(make_sync_value(out))
+    idle = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(iters):
+        last = run_once()
+    _sync(make_sync_value(last))
+    total = time.perf_counter() - t0
+    return max(total - idle, 1e-9) / iters
+
+
+def bench_eval(dtype: str, iters: int, batch: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from adaptsegnet_tpu.eval.evaluator import make_eval_fn
+    from adaptsegnet_tpu.models import DeeplabMulti
+
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = DeeplabMulti(num_classes=19, dtype=jdtype)
+    x = jnp.zeros((batch, 512, 1024, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    eval_fn = make_eval_fn(model, out_hw=(1024, 2048), output_index=1,
+                           dtype=jdtype)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch, 512, 1024, 3)), jnp.float32)
+
+    sec = _measure(lambda: eval_fn(variables, img), lambda m: m, iters)
+    return batch / sec
+
+
+def bench_train(dtype: str, iters: int, batch: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from adaptsegnet_tpu.train.build import build_train_state
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.steps import make_adversarial_step
+
+    hw = (512, 1024)
+    cfg = TrainConfig(
+        source_only=False, level="multi-level", warper=False,
+        compute_dtype=dtype,
+    )
+    state, modules = build_train_state(cfg, example_hw=hw)
+    step_fn = make_adversarial_step(
+        modules["model"], modules["discriminator"], level="multi-level",
+        input_hw=hw, iter_size=1, donate=False,
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "images": jnp.asarray(rng.standard_normal((1, batch, *hw, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 19, size=(1, batch, *hw)),
+                              jnp.int32),
+        "target_images": jnp.asarray(
+            rng.standard_normal((1, batch, *hw, 3)), jnp.float32
+        ),
+    }
+
+    def run_once():
+        _, metrics = step_fn(state, b)
+        return metrics
+
+    return _measure(run_once, lambda m: m["loss_seg2"], iters)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--batch", type=int, default=1)
+    args = p.parse_args()
+
+    if args.train:
+        step_time = bench_train(args.dtype, args.iters, args.batch)
+        print(json.dumps({
+            "metric": "multi-level adv train step time (512x1024, bs1)",
+            "value": round(step_time * 1000.0, 2),
+            "unit": "ms/step",
+            "vs_baseline": None,
+        }))
+    else:
+        ips = bench_eval(args.dtype, args.iters, args.batch)
+        baseline_est = 5.0  # img/s, CUDA-8-era GPU estimate (none published)
+        print(json.dumps({
+            "metric": "DeeplabMulti eval images/sec/chip @512x1024->1024x2048 argmax",
+            "value": round(ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / baseline_est, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
