@@ -38,11 +38,15 @@ def make_eval_fn(
     the main output as well.
     """
 
+    # bf16 compute implies the fast resize path (throughput mode); f32 keeps
+    # the exact torch-parity interpolation that gates bit-matching mIoU.
+    exact = dtype == jnp.float32
+
     @jax.jit
     def eval_fn(variables, images):
         preds = model.apply(variables, images.astype(dtype))
         pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
-        up = upsample_logits(pred, out_hw)
+        up = upsample_logits(pred, out_hw, exact=exact)
         return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 
     return eval_fn

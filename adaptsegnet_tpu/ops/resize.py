@@ -74,7 +74,12 @@ def _interp_matrix_half_pixel(in_len: int, out_len: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def _separable_resize(x: jnp.ndarray, out_hw: tuple[int, int], matrix_fn) -> jnp.ndarray:
+def _separable_resize(
+    x: jnp.ndarray, out_hw: tuple[int, int], matrix_fn, exact: bool = True
+) -> jnp.ndarray:
+    """exact=True: f32 accumulation at HIGHEST matmul precision (torch
+    parity, gates bit-matching eval). exact=False: stay in x.dtype with
+    default precision — ~4x faster on bf16, used by the throughput path."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -84,20 +89,28 @@ def _separable_resize(x: jnp.ndarray, out_hw: tuple[int, int], matrix_fn) -> jnp
         return x[0] if squeeze else x
     mh = jnp.asarray(matrix_fn(h, oh))
     mw = jnp.asarray(matrix_fn(w, ow))
-    y = x.astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,nhwc->nowc", mh, y, precision=hp)
-    y = jnp.einsum("pw,nhwc->nhpc", mw, y, precision=hp)
-    y = y.astype(x.dtype)
+    if exact:
+        y = x.astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("oh,nhwc->nowc", mh, y, precision=hp)
+        y = jnp.einsum("pw,nhwc->nhpc", mw, y, precision=hp)
+        y = y.astype(x.dtype)
+    else:
+        y = jnp.einsum("oh,nhwc->nowc", mh.astype(x.dtype), x)
+        y = jnp.einsum("pw,nhwc->nhpc", mw.astype(x.dtype), y)
     return y[0] if squeeze else y
 
 
-def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear_half_pixel(
+    x: jnp.ndarray, out_hw: tuple[int, int], exact: bool = True
+) -> jnp.ndarray:
     """Bilinear resize with align_corners=False (half-pixel) semantics."""
-    return _separable_resize(x, out_hw, _interp_matrix_half_pixel)
+    return _separable_resize(x, out_hw, _interp_matrix_half_pixel, exact=exact)
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, out_hw: tuple[int, int], exact: bool = True
+) -> jnp.ndarray:
     """Resize NHWC (or HWC) `x` to `out_hw` with align_corners=True bilinear.
 
     Implemented as two einsum contractions (H then W) against constant
@@ -107,10 +120,12 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     """
     # HIGHEST precision inside _separable_resize keeps the interpolation in
     # true f32 on the MXU (parity with torch's float32 interpolate).
-    return _separable_resize(x, out_hw, _interp_matrix)
+    return _separable_resize(x, out_hw, _interp_matrix, exact=exact)
 
 
-def upsample_logits(logits: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def upsample_logits(
+    logits: jnp.ndarray, out_hw: tuple[int, int], exact: bool = True
+) -> jnp.ndarray:
     """Upsample segmentation logits (N, h, w, C) to (N, H, W, C).
 
     Semantics of the reference's external `interp` module
@@ -118,4 +133,4 @@ def upsample_logits(logits: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray
     named wrapper so call sites document intent and so a Pallas fused
     resize+softmax path can slot in behind one symbol.
     """
-    return resize_bilinear_align_corners(logits, out_hw)
+    return resize_bilinear_align_corners(logits, out_hw, exact=exact)

@@ -1,0 +1,60 @@
+"""ASPP matmul lowering == dilated-conv lowering (and torch)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from adaptsegnet_tpu.models.deeplab_resnet import ClassifierModule
+from adaptsegnet_tpu.ops.aspp import aspp_matmul
+
+
+def _torch_aspp(x_nhwc, kernels, biases, dilations, n_sum):
+    t = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    out = None
+    for k, b, d in list(zip(kernels, biases, dilations))[:n_sum]:
+        w = torch.from_numpy(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+        y = F.conv2d(t, w, torch.from_numpy(np.asarray(b)), padding=d,
+                     dilation=d)
+        out = y if out is None else out + y
+    return np.transpose(out.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("n_sum", [4, 2])
+def test_aspp_matmul_matches_torch(rng, n_sum):
+    c, k = 32, 19
+    x = rng.standard_normal((1, 16, 24, c), dtype=np.float32)
+    kernels = [rng.standard_normal((3, 3, c, k)).astype(np.float32) * 0.1
+               for _ in range(4)]
+    biases = [rng.standard_normal((k,)).astype(np.float32) for _ in range(4)]
+    dils = (2, 4, 6, 8)
+
+    ours = np.asarray(aspp_matmul(
+        jnp.asarray(x), [jnp.asarray(w) for w in kernels],
+        [jnp.asarray(b) for b in biases], dils, n_sum=n_sum,
+    ))
+    ref = _torch_aspp(x, kernels, biases, dils, n_sum)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_classifier_module_lowerings_agree(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 64), dtype=np.float32))
+    m_mat = ClassifierModule(num_classes=19, use_matmul=True)
+    m_conv = ClassifierModule(num_classes=19, use_matmul=False)
+    v = jax.jit(m_mat.init)(jax.random.PRNGKey(0), x)
+    a = jax.jit(m_mat.apply)(v, x)
+    b = jax.jit(m_conv.apply)(v, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_classifier_module_param_layout_unchanged(rng):
+    x = jnp.zeros((1, 8, 8, 64))
+    v = ClassifierModule(num_classes=19).init(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    assert set(p) == {f"branch{i}" for i in range(4)}
+    assert p["branch0"]["conv"]["kernel"].shape == (3, 3, 64, 19)
+    assert p["branch3"]["conv"]["bias"].shape == (19,)
