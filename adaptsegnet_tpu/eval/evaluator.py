@@ -30,6 +30,7 @@ def make_eval_fn(
     out_hw: tuple[int, int] = (1024, 2048),
     output_index: int = 1,
     dtype=jnp.float32,
+    use_pallas_tail: bool = False,
 ) -> Callable:
     """Jitted (variables, images NHWC) -> uint8 mask (N, H, W).
 
@@ -40,12 +41,22 @@ def make_eval_fn(
 
     # bf16 compute implies the fast resize path (throughput mode); f32 keeps
     # the exact torch-parity interpolation that gates bit-matching mIoU.
+    # The fused Pallas upsample+argmax kernel (ops/pallas) wins 2.1x on the
+    # isolated tail but in-graph XLA overlaps the tail with the last convs,
+    # measuring equal-or-better — so the kernel stays opt-in.
     exact = dtype == jnp.float32
+    use_pallas = (
+        use_pallas_tail and not exact and jax.default_backend() != "cpu"
+    )
 
     @jax.jit
     def eval_fn(variables, images):
         preds = model.apply(variables, images.astype(dtype))
         pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
+        if use_pallas:
+            from adaptsegnet_tpu.ops.pallas import upsample_argmax
+
+            return upsample_argmax(pred, out_hw)
         up = upsample_logits(pred, out_hw, exact=exact)
         return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 

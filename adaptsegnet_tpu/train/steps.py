@@ -63,13 +63,21 @@ def _forward_warper(warper_module, wstate, images):
 
 
 def _seg_forward(model, params, batch_stats, images, input_hw):
-    """Segmenter forward -> (pred1_up, pred2_up) at input resolution."""
+    """Segmenter forward -> (pred1_up, pred2_up) at input resolution.
+
+    bf16 models get the fast in-dtype resize (the exact f32 interpolation
+    only matters for bit-parity eval; in training it costs real time in both
+    fwd and bwd at full resolution).
+    """
+    import jax.numpy as jnp
+
+    exact = getattr(model, "dtype", jnp.float32) == jnp.float32
     pred1, pred2 = model.apply(
         {"params": params, "batch_stats": batch_stats}, images
     )
     return (
-        upsample_logits(pred1, input_hw),
-        upsample_logits(pred2, input_hw),
+        upsample_logits(pred1, input_hw, exact=exact),
+        upsample_logits(pred2, input_hw, exact=exact),
     )
 
 
