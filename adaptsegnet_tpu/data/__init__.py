@@ -14,6 +14,7 @@ from adaptsegnet_tpu.data.preprocessing import (
     GTA5_ID_TO_TRAINID,
 )
 from adaptsegnet_tpu.data.gta5 import GTA5Dataset
+from adaptsegnet_tpu.data.synscapes import SynscapesDataset
 from adaptsegnet_tpu.data.cityscapes import CityscapesDataset
 from adaptsegnet_tpu.data.pipeline import PrefetchIterator, epoch_batches
 
@@ -23,6 +24,7 @@ __all__ = [
     "remap_gta5_labels",
     "GTA5_ID_TO_TRAINID",
     "GTA5Dataset",
+    "SynscapesDataset",
     "CityscapesDataset",
     "PrefetchIterator",
     "epoch_batches",

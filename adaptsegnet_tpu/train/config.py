@@ -25,6 +25,7 @@ class TrainConfig:
     target: str = "cityscapes"
 
     # Data.
+    source: str = "GTA5"  # GTA5 | Synscapes (reference README.md:53-55)
     batch_size: int = 1
     iter_size: int = 1
     num_workers: int = 4
@@ -68,6 +69,7 @@ class TrainConfig:
 
     # TPU-native extras (no reference counterpart).
     num_devices: int = 0          # 0 = all local devices (data-parallel mesh)
+    profile_dir: str = ""         # jax.profiler trace of a few steps
     compute_dtype: str = "float32"  # 'bfloat16' for speed
     orbax_checkpoints: bool = True  # full-state resume alongside .pth export
 
@@ -106,6 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=d.model,
                    help="available options : DeepLab / DeeplabVGG")
     p.add_argument("--target", type=str, default=d.target)
+    p.add_argument("--source", type=str, default=d.source,
+                   help="source domain dataset: GTA5 / Synscapes")
     p.add_argument("--batch-size", type=int, default=d.batch_size)
     p.add_argument("--iter-size", type=int, default=d.iter_size)
     p.add_argument("--num-workers", type=int, default=d.num_workers)
@@ -149,6 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "Source-domain CE pretraining only (no adversarial).")
     _add_bool_flag(p, "warper", d.warper, "Enable the flow-field Warper.")
     p.add_argument("--num-devices", type=int, default=d.num_devices)
+    p.add_argument("--profile-dir", type=str, default=d.profile_dir)
     p.add_argument("--compute-dtype", type=str, default=d.compute_dtype)
     _add_bool_flag(p, "orbax-checkpoints", d.orbax_checkpoints,
                    "Save full-state orbax checkpoints alongside .pth.")

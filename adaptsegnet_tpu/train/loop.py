@@ -20,6 +20,7 @@ from adaptsegnet_tpu.data import (
     CityscapesDataset,
     GTA5Dataset,
     PrefetchIterator,
+    SynscapesDataset,
 )
 from adaptsegnet_tpu.data.pipeline import stack_collate
 from adaptsegnet_tpu.parallel import auto_mesh_size, make_mesh, replicate, shard_batch
@@ -31,6 +32,7 @@ from adaptsegnet_tpu.train.steps import (
 )
 from adaptsegnet_tpu.utils.checkpoint import CheckpointManager, save_snapshot_pth
 from adaptsegnet_tpu.utils.logging import ScalarLogger, format_losses
+from adaptsegnet_tpu.utils.profiling import StepTimer
 from adaptsegnet_tpu.utils import pth_interop
 
 
@@ -46,7 +48,8 @@ def _batch_iter(cfg: TrainConfig, mesh=None):
     """Yield step batches shaped (iter_size, B, H, W, ...)."""
     max_iters = cfg.num_steps * cfg.iter_size * cfg.batch_size
     per_step = cfg.iter_size * cfg.batch_size
-    source = GTA5Dataset(
+    source_cls = {"GTA5": GTA5Dataset, "Synscapes": SynscapesDataset}[cfg.source]
+    source = source_cls(
         cfg.data_dir, cfg.data_list, max_iters=max_iters,
         crop_size=cfg.crop_size_wh, scale=cfg.random_scale,
         mirror=cfg.random_mirror, seed=cfg.random_seed,
@@ -140,38 +143,73 @@ def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
         dvars = lambda d: (
             {"params": jax.device_get(d.params)} if d is not None else None
         )
-        if cfg.model == "DeepLab":
-            save_snapshot_pth(
-                cfg.snapshot_dir, _mode_subdir(cfg), step_tag, gvars,
-                d1_variables=dvars(state.d1), d2_variables=dvars(state.d2),
-            )
-            snapshots.append(
-                osp.join(cfg.snapshot_dir, _mode_subdir(cfg),
-                         f"GTA5_{step_tag}.pth")
-            )
+        save_snapshot_pth(
+            cfg.snapshot_dir, _mode_subdir(cfg), step_tag, gvars,
+            d1_variables=dvars(state.d1), d2_variables=dvars(state.d2),
+            model=cfg.model,
+        )
+        snapshots.append(
+            osp.join(cfg.snapshot_dir, _mode_subdir(cfg),
+                     f"GTA5_{step_tag}.pth")
+        )
         if ckpt_mgr is not None:
             ckpt_mgr.save(step_tag, state)
 
-    for i_iter in range(start_step, stop):
-        batch = next(batches)
-        state, metrics = step_fn(state, batch)
-        print(f"exp = {cfg.snapshot_dir}")
-        host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        print(format_losses(i_iter, cfg.num_steps, host_metrics))
-        logger.log(i_iter, host_metrics)
+    # Graceful preemption (the reference loses up to 5000 steps on a kill,
+    # SURVEY.md §5.3): SIGTERM/SIGINT request a final snapshot + clean exit.
+    import signal
 
-        if i_iter >= stop - 1:
-            print("save model ...")
-            snapshot(stop)
-            break
-        if i_iter % cfg.save_pred_every == 0 and i_iter != 0:
-            print("taking snapshot ...")
-            snapshot(i_iter)
+    stop_requested = []
 
-    logger.close()
+    def _on_signal(signum, frame):
+        stop_requested.append(signum)
+
+    old_handlers = {
+        sig: signal.signal(sig, _on_signal)
+        for sig in (signal.SIGTERM, signal.SIGINT)
+    }
+
+    timer = StepTimer(warmup=2)
+    try:
+        for i_iter in range(start_step, stop):
+            if cfg.profile_dir and i_iter == start_step + 3:
+                jax.profiler.start_trace(cfg.profile_dir)
+            batch = next(batches)
+            timer.start()
+            state, metrics = step_fn(state, batch)
+            host_metrics = {
+                k: float(v) for k, v in jax.device_get(metrics).items()
+            }
+            timer.stop()
+            if cfg.profile_dir and i_iter == start_step + 6:
+                jax.profiler.stop_trace()
+            print(f"exp = {cfg.snapshot_dir}")
+            print(format_losses(i_iter, cfg.num_steps, host_metrics))
+            logger.log(i_iter, host_metrics)
+
+            if stop_requested:
+                print(f"signal {stop_requested[0]} received; snapshotting ...")
+                snapshot(i_iter + 1)
+                break
+            if i_iter >= stop - 1:
+                print("save model ...")
+                snapshot(stop)
+                break
+            if i_iter % cfg.save_pred_every == 0 and i_iter != 0:
+                print("taking snapshot ...")
+                snapshot(i_iter)
+    finally:
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+        logger.close()
+
+    if timer._times:
+        print(f"step time: mean {timer.mean*1000:.1f} ms, "
+              f"p50 {timer.p50*1000:.1f} ms, best {timer.best*1000:.1f} ms")
     return {
         "final_metrics": {k: float(v) for k, v in jax.device_get(metrics).items()}
         if metrics else {},
         "snapshots": snapshots,
         "steps": stop,
+        "step_time_p50": timer.p50,
     }

@@ -29,11 +29,15 @@ def save_snapshot_pth(
     generator_variables: Any,
     d1_variables: Optional[Any] = None,
     d2_variables: Optional[Any] = None,
+    model: str = "DeepLab",
 ):
     """Write GTA5_<step>.pth (+ _D1/_D2) in the reference layout/naming."""
     out_dir = osp.join(snapshot_dir, mode_subdir)
     os.makedirs(out_dir, exist_ok=True)
-    sd = pth_interop.variables_to_resnet_state_dict(generator_variables)
+    if model == "DeeplabVGG":
+        sd = pth_interop.variables_to_vgg_state_dict(generator_variables)
+    else:
+        sd = pth_interop.variables_to_resnet_state_dict(generator_variables)
     pth_interop.save_torch_state_dict(sd, osp.join(out_dir, f"GTA5_{step}.pth"))
     for tag, dv in (("D1", d1_variables), ("D2", d2_variables)):
         if dv is not None:

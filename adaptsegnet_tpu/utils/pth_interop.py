@@ -275,6 +275,29 @@ def variables_to_resnet_state_dict(variables: Mapping[str, Any]) -> dict[str, np
     return sd
 
 
+def variables_to_vgg_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Flax DeeplabVGG variables -> torch-layout state dict (features.N.*)."""
+    params = variables["params"]
+    if "vgg" in params:  # unwrap the _VGGAsMulti training adapter
+        params = params["vgg"]
+    name_to_idx = {v: k for k, v in _VGG_IDX_TO_NAME.items()}
+    sd: dict[str, np.ndarray] = {}
+    for name, node in params.items():
+        if name == "classifier":
+            for bname, bnode in node.items():
+                idx = int(bname.replace("branch", ""))
+                sd[f"classifier.conv2d_list.{idx}.weight"] = _conv_to_torch(
+                    np.asarray(bnode["conv"]["kernel"]))
+                sd[f"classifier.conv2d_list.{idx}.bias"] = np.asarray(
+                    bnode["conv"]["bias"])
+            continue
+        idx = name_to_idx[name]
+        sd[f"features.{idx}.weight"] = _conv_to_torch(
+            np.asarray(node["conv"]["kernel"]))
+        sd[f"features.{idx}.bias"] = np.asarray(node["conv"]["bias"])
+    return sd
+
+
 def variables_to_discriminator_state_dict(variables) -> dict[str, np.ndarray]:
     sd = {}
     for mod, node in variables["params"].items():
