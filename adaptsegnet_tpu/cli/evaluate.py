@@ -90,31 +90,18 @@ def _mode_subdir(args) -> str:
 def evaluate_checkpoint(args, model, output_index, loader, ckpt_path, save_dir):
     variables = load_variables(model, loader, ckpt_path, args.num_classes)
     ow, oh = map(int, args.output_size.split(","))
+    # Single-output models (Oracle/VGG) return a bare array; make_eval_fn
+    # only indexes tuple outputs, so output_index is ignored there.
     evaluator = Evaluator(
-        model,
-        out_hw=(oh, ow),
-        output_index=1 if output_index == 1 else 0,
+        model, out_hw=(oh, ow),
+        output_index=output_index if output_index is not None else 0,
         save_dir=save_dir,
     )
-    if output_index is None:
-        # Single-output models: wrap apply output into a tuple of one.
-        evaluator = Evaluator(
-            _single_as_tuple(model), out_hw=(oh, ow), output_index=0,
-            save_dir=save_dir,
-        )
     w, h = map(int, args.input_size.split(","))
     ds = CityscapesDataset(
         args.data_dir, args.data_list, crop_size=(w, h), set=args.set
     )
     return evaluator.run(variables, ds)
-
-
-def _single_as_tuple(model):
-    class _Wrap:
-        def apply(self, variables, x):
-            return (model.apply(variables, x),)
-
-    return _Wrap()
 
 
 def main(argv=None):

@@ -79,6 +79,7 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = normal_conv_init(0.01)
     bias_init: Callable | None = None
+    lower_s2_matmul: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +90,48 @@ class Conv2d(nn.Module):
             else (self.kernel_size, self.kernel_size)
         )
         bias_init = self.bias_init or nn.initializers.zeros_init()
+        if (
+            self.lower_s2_matmul
+            and ks == (4, 4)
+            and self.stride == 2
+            and self.padding == 1
+            and self.dilation == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            # Discriminator/Warper-encoder shape: matmul lowering
+            # (ops/conv4x4.py) instead of XLA's slow strided conv. Same
+            # param layout as nn.Conv ('conv'/{kernel,bias}).
+            from adaptsegnet_tpu.ops.conv4x4 import conv4x4_stride2
+
+            class _P(nn.Module):
+                cin: int
+                cout: int
+                use_bias: bool
+                kernel_init: Callable
+                bias_init: Callable
+
+                @nn.compact
+                def __call__(self):
+                    k = self.param(
+                        "kernel", self.kernel_init, (4, 4, self.cin, self.cout)
+                    )
+                    b = (
+                        self.param("bias", self.bias_init, (self.cout,))
+                        if self.use_bias
+                        else None
+                    )
+                    return k, b
+
+            k, b = _P(
+                x.shape[-1], self.features, self.use_bias,
+                self.kernel_init, bias_init, name="conv",
+            )()
+            x = x.astype(self.dtype)
+            return conv4x4_stride2(
+                x, jnp.asarray(k, self.dtype),
+                None if b is None else jnp.asarray(b, self.dtype),
+            )
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

@@ -124,7 +124,13 @@ def make_source_only_step(
             jnp.zeros((), jnp.float32),
             state.warper.batch_stats if state.warper is not None else None,
         )
-        (grads, loss_seg2, wstats), _ = jax.lax.scan(micro, init, batch)
+        if iter_size == 1:
+            # No accumulation pass: saves a zeros-init + whole-tree add
+            # (~2.4 ms/step measured on the profiler as copy_add_fusion).
+            mb = jax.tree.map(lambda x: x[0], batch)
+            (grads, loss_seg2, wstats), _ = micro(init, mb)
+        else:
+            (grads, loss_seg2, wstats), _ = jax.lax.scan(micro, init, batch)
 
         new_g = gstate.apply_gradients(grads)
         new_warper = (
@@ -289,9 +295,13 @@ def make_adversarial_step(
             state.warper.batch_stats if (warper_module is not None and not multi)
             else None,
         )
-        (g_grads, d1_grads, d2_grads, metrics, wstats), _ = jax.lax.scan(
-            micro, init, batch
-        )
+        if iter_size == 1:
+            mb = jax.tree.map(lambda x: x[0], batch)
+            (g_grads, d1_grads, d2_grads, metrics, wstats), _ = micro(init, mb)
+        else:
+            (g_grads, d1_grads, d2_grads, metrics, wstats), _ = jax.lax.scan(
+                micro, init, batch
+            )
 
         new_state = state.replace(
             step=state.step + 1,

@@ -90,6 +90,40 @@ def test_multi_level_train_snapshot_eval_iou(env, tmp_path):
     assert np.nanmean(ious) >= 0.0
 
 
+@pytest.mark.parametrize("model_name", ["Oracle", "DeeplabVGG"])
+def test_evaluate_cli_single_output_models(env, tmp_path, model_name):
+    """Oracle/VGG eval path: random-init weights exported to .pth, loaded
+    back through the CLI, predictions written."""
+    import jax.numpy as jnp
+    from adaptsegnet_tpu.cli import evaluate as ev
+    from adaptsegnet_tpu.models import DeeplabSingle, DeeplabVGG
+    from adaptsegnet_tpu.utils import pth_interop as io
+
+    if model_name == "Oracle":
+        model = DeeplabSingle(num_classes=19)
+        exporter = io.variables_to_resnet_state_dict
+    else:
+        model = DeeplabVGG(num_classes=19)
+        exporter = io.variables_to_vgg_state_dict
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)))
+    ckpt = str(tmp_path / f"{model_name}.pth")
+    io.save_torch_state_dict(exporter(v), ckpt)
+
+    save_dir = str(tmp_path / "result")
+    ev.main([
+        "--model", model_name,
+        "--data-dir", env["cs_root"],
+        "--data-list", env["cs_val_list"],
+        "--restore-from", ckpt,
+        "--save", save_dir,
+        "--input-size", "64,32",
+        "--output-size", "64,32",
+    ])
+    import glob
+
+    assert len(glob.glob(save_dir + "/*_leftImg8bit.png")) == 2
+
+
 def test_source_only_train_runs(env, tmp_path):
     cfg = _cfg(env, tmp_path, source_only=True, num_steps_stop=2)
     summary = train(cfg, max_steps=2)
