@@ -29,18 +29,26 @@ def epoch_batches(
     shuffle: bool = True,
     seed: int = 1338,
     drop_last: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[np.ndarray]:
-    """Yield index batches, reshuffled each pass (DataLoader shuffle=True)."""
+    """Yield index batches, reshuffled each pass (DataLoader shuffle=True).
+
+    Multi-host: every process draws the SAME shuffled order (seeded rng) and
+    takes its interleaved slice, so the union of per-host batches is the
+    global batch — `batch_size` here is the PER-HOST batch.
+    """
     rng = np.random.default_rng(seed)
-    epoch = 0
     while True:
         order = np.arange(n_items)
         if shuffle:
             rng.shuffle(order)
-        stop = n_items - (n_items % batch_size if drop_last else 0)
+        if process_count > 1:
+            order = order[process_index::process_count]
+        n = len(order)
+        stop = n - (n % batch_size if drop_last else 0)
         for i in range(0, stop, batch_size):
             yield order[i : i + batch_size]
-        epoch += 1
 
 
 class PrefetchIterator:
@@ -63,6 +71,7 @@ class PrefetchIterator:
         num_workers: int = 4,
         prefetch: int = 2,
         max_batches: int | None = None,
+        shard_by_process: bool = False,
     ):
         self._dataset = dataset
         self._collate = collate
@@ -71,7 +80,9 @@ class PrefetchIterator:
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._index_iter = epoch_batches(
-            len(dataset), batch_size, shuffle=shuffle, seed=seed
+            len(dataset), batch_size, shuffle=shuffle, seed=seed,
+            process_index=jax.process_index() if shard_by_process else 0,
+            process_count=jax.process_count() if shard_by_process else 1,
         )
         self._max_batches = max_batches
         self._produced = 0

@@ -35,6 +35,7 @@ from flax import linen as nn
 from adaptsegnet_tpu.models.layers import (
     BatchNorm2d,
     Conv2d,
+    conv_bn_folded,
     max_pool_3x3_s2,
     normal_conv_init,
 )
@@ -43,7 +44,12 @@ Dtype = Any
 
 
 class Bottleneck(nn.Module):
-    """1x1(stride)/3x3(dilated)/1x1(x4) residual block, frozen BN."""
+    """1x1(stride)/3x3(dilated)/1x1(x4) residual block, frozen BN.
+
+    Conv+BN pairs use the BN-folded lowering (layers.ConvBN2d): the frozen
+    normalization is applied to the weights instead of the activations —
+    same math, one fewer activation-bandwidth pass per conv.
+    """
 
     planes: int
     stride: int = 1
@@ -53,23 +59,25 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = lambda *a, **k: Conv2d(*a, dtype=self.dtype, use_bias=False, **k)
-        bn = lambda name: BatchNorm2d(dtype=self.dtype, name=name)
+        def convbn(y, features, k, tag, stride=1, dilation=1):
+            conv_name = f"conv{tag}" if tag.isdigit() else f"{tag}_conv"
+            bn_name = f"bn{tag}" if tag.isdigit() else f"{tag}_bn"
+            return conv_bn_folded(
+                self, y, features, k, conv_name, bn_name, stride=stride,
+                padding=dilation if k == 3 else 0, dilation=dilation,
+                dtype=self.dtype,
+            )
+
         residual = x
-        out = conv(self.planes, 1, stride=self.stride, name="conv1")(x)
-        out = nn.relu(bn("bn1")(out))
-        out = conv(
-            self.planes, 3, padding=self.dilation, dilation=self.dilation,
-            name="conv2",
-        )(out)
-        out = nn.relu(bn("bn2")(out))
-        out = conv(self.planes * 4, 1, name="conv3")(out)
-        out = bn("bn3")(out)
+        out = convbn(x, self.planes, 1, "1", stride=self.stride)
+        out = nn.relu(out)
+        out = convbn(out, self.planes, 3, "2", dilation=self.dilation)
+        out = nn.relu(out)
+        out = convbn(out, self.planes * 4, 1, "3")
         if self.has_downsample:
-            residual = conv(
-                self.planes * 4, 1, stride=self.stride, name="downsample_conv"
-            )(x)
-            residual = bn("downsample_bn")(residual)
+            residual = convbn(
+                x, self.planes * 4, 1, "downsample", stride=self.stride
+            )
         return nn.relu(out + residual)
 
 
@@ -160,9 +168,11 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Conv2d(64, 7, stride=2, padding=3, use_bias=False,
-                   dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(BatchNorm2d(dtype=self.dtype, name="bn1")(x))
+        x = conv_bn_folded(
+            self, x, 64, 7, "conv1", "bn1", stride=2, padding=3,
+            dtype=self.dtype,
+        )
+        x = nn.relu(x)
         x = max_pool_3x3_s2(x, ceil_mode=self.ceil_mode_pool)
 
         specs = [  # (planes, stride, dilation)

@@ -173,6 +173,110 @@ class BatchNorm2d(nn.Module):
         )(x)
 
 
+class _ConvKernelParams(nn.Module):
+    """Param-only holder: <name>/conv/kernel (Conv2d-compatible path)."""
+
+    cin: int
+    cout: int
+    k: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            cin: int
+            cout: int
+            k: int
+            kernel_init: Callable
+
+            @nn.compact
+            def __call__(self):
+                return self.param(
+                    "kernel", self.kernel_init,
+                    (self.k, self.k, self.cin, self.cout),
+                )
+
+        return _Inner(self.cin, self.cout, self.k, self.kernel_init,
+                      name="conv")()
+
+
+class _FrozenBNParams(nn.Module):
+    """Param/stat holder: <name>/bn/{scale,bias} + batch_stats mean/var
+    (BatchNorm2d-compatible paths)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self):
+                scale = self.param("scale", nn.initializers.ones_init(),
+                                   (self.features,))
+                bias = self.param("bias", nn.initializers.zeros_init(),
+                                  (self.features,))
+                mean = self.variable(
+                    "batch_stats", "mean",
+                    lambda: jnp.zeros((self.features,), jnp.float32))
+                var = self.variable(
+                    "batch_stats", "var",
+                    lambda: jnp.ones((self.features,), jnp.float32))
+                return scale, bias, mean.value, var.value
+
+        return _Inner(self.features, name="bn")()
+
+
+def conv_bn_folded(
+    parent_compact_self,
+    x: jnp.ndarray,
+    features: int,
+    kernel_size: int,
+    conv_name: str,
+    bn_name: str,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    epsilon: float = 1e-5,
+    kernel_init: Callable = normal_conv_init(0.01),
+    dtype: Dtype = jnp.float32,
+):
+    """Conv (no bias) + frozen inference-mode BatchNorm, BN-folded.
+
+    Computes conv(x, W * s) + (b - mean * s) with s = scale/sqrt(var + eps)
+    — numerically the conv -> BN composition, but the normalization runs
+    once over the WEIGHTS instead of once over the activations, deleting a
+    full activation-bandwidth pass per conv (the backbone has 104 of them).
+    Gradients wrt the conv kernel flow through the fold (chain rule), so
+    training dynamics match the unfolded form.
+
+    Must be called from a parent module's @nn.compact __call__ (children are
+    created in the CALLER's scope so parameter paths stay
+    <conv_name>/conv/kernel and <bn_name>/bn/... — checkpoint- and
+    optimizer-label-compatible with Conv2d + BatchNorm2d). Only valid for
+    frozen-stats BN (the backbone's; the Warper's live BN keeps the
+    standard path).
+    """
+    del parent_compact_self  # documentation-only: caller scope is implicit
+    cin = x.shape[-1]
+    kernel = _ConvKernelParams(cin, features, kernel_size, kernel_init,
+                               name=conv_name)()
+    scale, bias, mean, var = _FrozenBNParams(features, name=bn_name)()
+
+    s = (scale * jax.lax.rsqrt(var + epsilon)).astype(jnp.float32)
+    w_folded = (kernel.astype(jnp.float32) * s).astype(dtype)
+    b_folded = (bias - mean * s).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w_folded,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b_folded
+
+
 def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
     """torch MaxPool2d(kernel=3, stride=2, padding=1, ceil_mode=...).
 

@@ -114,7 +114,10 @@ class WarperDecoder(nn.Module):
         def up_stage(x, cout, name, use_bn=True, use_bias=False):
             x = nn.relu(x)
             n, h, w, c = x.shape
-            x = resize_bilinear_half_pixel(x, (h * 2, w * 2))
+            # bf16 compute takes the fast in-dtype resize path.
+            x = resize_bilinear_half_pixel(
+                x, (h * 2, w * 2), exact=self.dtype == jnp.float32
+            )
             x = Conv2d(
                 cout, 3, padding=1, use_bias=use_bias, kernel_init=_XAVIER,
                 dtype=self.dtype, name=f"{name}_conv",

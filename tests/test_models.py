@@ -39,6 +39,45 @@ def test_deeplab_multi_matches_oracle(rng, multi_vars):
     np.testing.assert_allclose(np.asarray(p2), r2, rtol=1e-3, atol=1e-4)
 
 
+def test_deeplab_multi_folded_bn_matches_oracle_nontrivial_stats(rng, multi_vars):
+    """The BN-folded conv lowering must match conv->BN with REAL stats
+    (at init mean=0/var=1/scale=1 makes the fold a no-op, so this test
+    randomizes every BN tensor)."""
+    model, variables = multi_vars
+    variables = jax.tree.map(np.asarray, variables)
+
+    def randomize(tree, is_stats):
+        def rec(node, path):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = rec(v, path + (k,))
+                elif path and path[-1] == "bn":
+                    if k == "var":
+                        out[k] = rng.uniform(0.5, 2.0, v.shape).astype(v.dtype)
+                    elif k == "mean":
+                        out[k] = rng.standard_normal(v.shape).astype(v.dtype)
+                    elif k == "scale":
+                        out[k] = rng.uniform(0.5, 1.5, v.shape).astype(v.dtype)
+                    else:  # bias
+                        out[k] = rng.standard_normal(v.shape).astype(v.dtype) * 0.1
+                else:
+                    out[k] = v
+            return out
+        return rec(tree, ())
+
+    variables = {
+        "params": randomize(variables["params"], False),
+        "batch_stats": randomize(variables["batch_stats"], True),
+    }
+    variables = jax.tree.map(jnp.asarray, variables)
+    x = rng.standard_normal((1, 64, 96, 3), dtype=np.float32) * 0.5
+    p1, p2 = jax.jit(model.apply)(variables, jnp.asarray(x))
+    r1, r2 = torch_oracle.deeplab_multi(variables, x)
+    np.testing.assert_allclose(np.asarray(p1), r1, rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(p2), r2, rtol=1e-3, atol=5e-4)
+
+
 def test_deeplab_multi_param_count(multi_vars):
     _, variables = multi_vars
     # ResNet-101 backbone (42,500,160 conv+BN-affine params) + two 4-branch
