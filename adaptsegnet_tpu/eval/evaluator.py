@@ -84,28 +84,63 @@ class Evaluator:
             os.makedirs(save_dir, exist_ok=True)
 
     def run(self, variables, dataset, batch_size: int = 1,
-            progress_every: int = 100) -> list[str]:
-        """Evaluate every image; returns the list of written PNG paths."""
-        written = []
+            progress_every: int = 100, num_workers: int = 4) -> list[str]:
+        """Evaluate every image; returns the list of written PNG paths.
+
+        Host work overlaps device work: PIL decode runs ahead on a thread
+        pool (PrefetchIterator) while PNG encodes trail behind on another —
+        the device only ever waits for the next staged batch.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from adaptsegnet_tpu.data.pipeline import PrefetchIterator, stack_collate
+
         n = len(dataset)
-        for start in range(0, n, batch_size):
-            idxs = range(start, min(start + batch_size, n))
-            items = [dataset[i] for i in idxs]
-            images = np.stack([it[0] for it in items])
-            names = [it[-1] for it in items]
-            masks = np.asarray(self.eval_fn(variables, jnp.asarray(images)))
+        it = PrefetchIterator(
+            dataset, batch_size, collate=stack_collate({0}),
+            shuffle=False, num_workers=num_workers,
+            max_batches=n // batch_size,
+        ) if n % batch_size == 0 else None  # ragged tail -> simple path
+
+        writer_pool = ThreadPoolExecutor(max_workers=2)
+        futures = []
+        written = []
+
+        def save(mask, name):
+            base = name.split("/")[-1]
+            out = osp.join(self.save_dir, base)
+            from PIL import Image
+
+            Image.fromarray(np.asarray(mask)).save(out)
+            colorize_mask(np.asarray(mask)).save(
+                osp.join(self.save_dir, base.split(".")[0] + "_color.png")
+            )
+            return out
+
+        def handle(masks, names, start):
             if start % (progress_every * batch_size) == 0:
                 print(f"{start} processd")  # reference log line (:157)
             if self.save_dir:
-                for mask, name in zip(masks, names):
-                    base = name.split("/")[-1]
-                    out = osp.join(self.save_dir, base)
-                    from PIL import Image
+                for mask, name in zip(np.asarray(masks), names):
+                    futures.append(writer_pool.submit(save, mask, name))
 
-                    Image.fromarray(mask).save(out)
-                    colorize_mask(mask).save(
-                        osp.join(self.save_dir,
-                                 base.split(".")[0] + "_color.png")
-                    )
-                    written.append(out)
+        if it is not None:
+            start = 0
+            for batch in it:
+                images = batch[0]
+                names = batch[-1]
+                handle(self.eval_fn(variables, images), names, start)
+                start += batch_size
+            it.close()
+        else:
+            for start in range(0, n, batch_size):
+                idxs = range(start, min(start + batch_size, n))
+                items = [dataset[i] for i in idxs]
+                images = jnp.asarray(np.stack([it_[0] for it_ in items]))
+                names = [it_[-1] for it_ in items]
+                handle(self.eval_fn(variables, images), names, start)
+
+        for f in futures:
+            written.append(f.result())
+        writer_pool.shutdown()
         return written
