@@ -70,19 +70,45 @@ class _WarperBN(nn.Module):
         )(x)
 
 
+def _make_norm(norm: str, dtype, name: str):
+    """norm_layer selection (reference warper.py:40-42, 104-112):
+    'Batch' (bias-free convs + BN), 'Instance' (biased convs + InstanceNorm),
+    'Spectral' (handled at the conv itself, no separate norm)."""
+    if norm == "Batch":
+        bn = _WarperBN(dtype=dtype, name=name)
+        return lambda x, train: bn(x, train)
+    if norm == "Instance":
+        from adaptsegnet_tpu.models.custom_blocks import InstanceNorm2d
+
+        inorm = InstanceNorm2d(name=name)
+        return lambda x, train: inorm(x)
+    if norm == "Spectral":
+        return lambda x, train: x
+    raise NotImplementedError(f"norm {norm!r}")
+
+
 class WarperEncoder(nn.Module):
     """SkipConnectionEncode: returns (latent, skips) — skips reversed."""
 
     num_layers: int = 8
     out_channel: int = 512
+    norm: str = "Batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv = lambda cout, name: Conv2d(
-            cout, 4, stride=2, padding=1, use_bias=False,
-            kernel_init=_XAVIER, dtype=self.dtype, name=name,
-        )
+        use_bias = self.norm != "Batch"
+
+        def conv(cout, name):
+            if self.norm == "Spectral":
+                from adaptsegnet_tpu.models.custom_blocks import SpectralConv2d
+
+                sc = SpectralConv2d(cout, 4, stride=2, padding=1,
+                                    use_bias=True, dtype=self.dtype, name=name)
+                return lambda y: sc(y, update_stats=train)
+            return Conv2d(cout, 4, stride=2, padding=1, use_bias=use_bias,
+                          kernel_init=_XAVIER, dtype=self.dtype, name=name)
+
         widths = [64, 128, 256, 512] + [512] * (self.num_layers - 5)
         skips = []
         out = x
@@ -90,15 +116,12 @@ class WarperEncoder(nn.Module):
             if i > 0:
                 out = leaky_relu(out, 0.2)
             out = conv(cout, f"down{i}")(out)
-            if i > 0:
-                out = _WarperBN(dtype=self.dtype, name=f"down{i}_bn")(out, train)
+            if i > 0 and self.norm != "Spectral":
+                out = _make_norm(self.norm, self.dtype, f"down{i}_bn")(out, train)
             skips.append(out)
         skips.reverse()
         out = leaky_relu(out, 0.2)
-        out = Conv2d(
-            self.out_channel, 4, stride=2, padding=1, use_bias=False,
-            kernel_init=_XAVIER, dtype=self.dtype, name="out",
-        )(out)
+        out = conv(self.out_channel, "out")(out)
         return out, skips
 
 
@@ -107,6 +130,7 @@ class WarperDecoder(nn.Module):
 
     num_layers: int = 7  # driving_num_layers = warper num_layers - 1
     out_channel: int = 2
+    norm: str = "Batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,12 +142,20 @@ class WarperDecoder(nn.Module):
             x = resize_bilinear_half_pixel(
                 x, (h * 2, w * 2), exact=self.dtype == jnp.float32
             )
+            if self.norm == "Spectral" and use_bn:
+                from adaptsegnet_tpu.models.custom_blocks import SpectralConv2d
+
+                x = SpectralConv2d(cout, 3, stride=1, padding=1, use_bias=True,
+                                   dtype=self.dtype, name=f"{name}_conv")(
+                    x, update_stats=train)
+                return x
             x = Conv2d(
-                cout, 3, padding=1, use_bias=use_bias, kernel_init=_XAVIER,
-                dtype=self.dtype, name=f"{name}_conv",
+                cout, 3, padding=1,
+                use_bias=use_bias or (use_bn and self.norm == "Instance"),
+                kernel_init=_XAVIER, dtype=self.dtype, name=f"{name}_conv",
             )(x)
             if use_bn:
-                x = _WarperBN(dtype=self.dtype, name=f"{name}_bn")(x, train)
+                x = _make_norm(self.norm, self.dtype, f"{name}_bn")(x, train)
             return x
 
         plan = (
@@ -150,14 +182,17 @@ class Warper(nn.Module):
     """
 
     num_layers: int = 8
+    norm: str = "Batch"  # Batch | Instance | Spectral (reference warper.py:217)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pose, train: bool = True):
         latent, skips = WarperEncoder(
-            num_layers=self.num_layers, dtype=self.dtype, name="encoder_d"
+            num_layers=self.num_layers, norm=self.norm, dtype=self.dtype,
+            name="encoder_d",
         )(pose, train)
         flow, warp_list = WarperDecoder(
-            num_layers=self.num_layers - 1, dtype=self.dtype, name="decoder_d"
+            num_layers=self.num_layers - 1, norm=self.norm, dtype=self.dtype,
+            name="decoder_d",
         )(latent, skips, train)
         return flow, warp_list
