@@ -149,12 +149,13 @@ def build_train_state(
 
     use_warper = cfg.warper and (cfg.source_only or cfg.level == "single-level")
     if use_warper:
-        warper = Warper(dtype=dtype)
+        warper = Warper(norm=cfg.warper_norm, dtype=dtype)
         modules["warper"] = warper
         wx = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
         wvars = warper.init(kw, wx)
         warper_state = WarperState(
-            params=wvars["params"], batch_stats=wvars["batch_stats"]
+            params=wvars["params"],
+            stats={k: v for k, v in wvars.items() if k != "params"},
         )
 
     state = TrainState(

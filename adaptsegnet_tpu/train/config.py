@@ -58,6 +58,7 @@ class TrainConfig:
     restore_from: str = "DeepLab_resnet_pretrained_init-f81d91e8.pth"
     not_restore_last: bool = False
     warper: bool = True
+    warper_norm: str = "Batch"  # Batch | Instance | Spectral
 
     # Bookkeeping.
     random_seed: int = 1338
@@ -152,6 +153,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "source-only", d.source_only,
                    "Source-domain CE pretraining only (no adversarial).")
     _add_bool_flag(p, "warper", d.warper, "Enable the flow-field Warper.")
+    p.add_argument("--warper-norm", type=str, default=d.warper_norm,
+                   help="Warper norm layer: Batch / Instance / Spectral")
     p.add_argument("--num-devices", type=int, default=d.num_devices)
     p.add_argument("--profile-dir", type=str, default=d.profile_dir)
     p.add_argument("--compute-dtype", type=str, default=d.compute_dtype)

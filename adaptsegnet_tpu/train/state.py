@@ -61,10 +61,12 @@ class WarperState:
     """Warper params are NOT optimized (the reference never adds WarpModel
     parameters to any optimizer — train_gta2cityscapes_multi.py:244 only
     passes model.optim_parameters — so the warper stays at its random init);
-    its live BN running stats do update during training."""
+    its live stats (BN running stats for norm='Batch', spectral-norm u
+    vectors for norm='Spectral') do update during training. `stats` maps
+    collection name -> tree (may be empty for norm='Instance')."""
 
     params: Any
-    batch_stats: Any
+    stats: Any
 
 
 @struct.dataclass

@@ -52,14 +52,16 @@ def _tree_add(a, b):
 
 
 def _forward_warper(warper_module, wstate, images):
-    """Warper forward in train mode, collecting BN stat mutations."""
+    """Warper forward in train mode, collecting live-stat mutations
+    (BN running stats / spectral-norm u vectors, per the norm variant)."""
+    mutable = list(wstate.stats.keys())
     (flow, _), mut = warper_module.apply(
-        {"params": wstate.params, "batch_stats": wstate.batch_stats},
+        {"params": wstate.params, **wstate.stats},
         images,
         train=True,
-        mutable=["batch_stats"],
+        mutable=mutable,
     )
-    return flow, mut["batch_stats"]
+    return flow, {k: mut[k] for k in mutable}
 
 
 def _seg_forward(model, params, batch_stats, images, input_hw):
@@ -102,7 +104,7 @@ def make_source_only_step(
             flow = None
             if warper_module is not None:
                 flow, wstats = _forward_warper(
-                    warper_module, state.warper.replace(batch_stats=wstats),
+                    warper_module, state.warper.replace(stats=wstats),
                     mb["images"],
                 )
 
@@ -122,7 +124,7 @@ def make_source_only_step(
         init = (
             _tree_zeros_like(gstate.params),
             jnp.zeros((), jnp.float32),
-            state.warper.batch_stats if state.warper is not None else None,
+            state.warper.stats if state.warper is not None else None,
         )
         if iter_size == 1:
             # No accumulation pass: saves a zeros-init + whole-tree add
@@ -134,7 +136,7 @@ def make_source_only_step(
 
         new_g = gstate.apply_gradients(grads)
         new_warper = (
-            state.warper.replace(batch_stats=wstats)
+            state.warper.replace(stats=wstats)
             if state.warper is not None
             else None
         )
@@ -187,7 +189,7 @@ def make_adversarial_step(
                 # Fork quirk: flow comes from the SOURCE images and is reused
                 # for the target forward (:403, :421).
                 flow, wstats = _forward_warper(
-                    warper_module, state.warper.replace(batch_stats=wstats),
+                    warper_module, state.warper.replace(stats=wstats),
                     mb["images"],
                 )
 
@@ -292,7 +294,7 @@ def make_adversarial_step(
                     "loss_adv_target2", "loss_D1", "loss_D2",
                 )
             },
-            state.warper.batch_stats if (warper_module is not None and not multi)
+            state.warper.stats if (warper_module is not None and not multi)
             else None,
         )
         if iter_size == 1:
@@ -309,7 +311,7 @@ def make_adversarial_step(
             d1=state.d1.apply_gradients(d1_grads) if multi else state.d1,
             d2=state.d2.apply_gradients(d2_grads),
             warper=(
-                state.warper.replace(batch_stats=wstats)
+                state.warper.replace(stats=wstats)
                 if wstats is not None
                 else state.warper
             ),
