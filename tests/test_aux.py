@@ -102,6 +102,23 @@ def test_config_defaults_match_reference():
     assert d.input_size == "1024,512"
 
 
+# --- tensorboard scalar logging ----------------------------------------------
+
+def test_tensorboard_logger(tmp_path):
+    from adaptsegnet_tpu.utils.logging import ScalarLogger, format_losses
+
+    log_dir = str(tmp_path / "tb")
+    lg = ScalarLogger(log_dir, tensorboard=True, every=10)
+    for step in range(21):
+        lg.log(step, {"loss_seg2": 1.0 / (step + 1)})
+    lg.close()
+    import glob
+
+    assert glob.glob(log_dir + "/events.out.tfevents.*")
+    line = format_losses(7, 100, {"loss_seg2": 1.234})
+    assert "iter =        7/     100" in line and "loss_seg2 = 1.234" in line
+
+
 # --- orbax full-state round-trip ---------------------------------------------
 
 def test_orbax_roundtrip(tmp_path, rng):
