@@ -15,8 +15,46 @@ matmuls with K = 4C — clean MXU shapes, ~10x faster, exact same math.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+
+def _s2d(x: jnp.ndarray):
+    """pad(1) + space-to-depth(2): (N,H,W,C) -> (N,H/2+1,W/2+1,4C), channel
+    order (r, s, c)."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hb, wb = h // 2 + 1, w // 2 + 1
+    blocks = xp.reshape(n, hb, 2, wb, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return blocks.reshape(n, hb, wb, 4 * c)
+
+
+def _d2s_unpad(blocks: jnp.ndarray, h: int, w: int, c: int):
+    """Inverse of _s2d (depth-to-space then strip the 1-pixel pad)."""
+    n, hb, wb, _ = blocks.shape
+    y = blocks.reshape(n, hb, wb, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, 2 * hb, 2 * wb, c)
+    return y[:, 1 : 1 + h, 1 : 1 + w, :]
+
+
+def _wprime(kernel: jnp.ndarray):
+    """HWIO (4,4,C,cout) -> [(a,b)] list of (4C, cout) with row order (r,s,c)."""
+    c, cout = kernel.shape[2], kernel.shape[3]
+    wk = kernel.reshape(2, 2, 2, 2, c, cout)  # (a, r, b, s, c, o)
+    return [wk[a, :, b].reshape(4 * c, cout) for a in (0, 1) for b in (0, 1)]
+
+
+def _dot(a, b, f32_exact, transpose_rhs=False):
+    dn = (((3,), (1,) if transpose_rhs else (0,)), ((), ()))
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        # f32 inputs keep (multi-pass) f32 MXU precision — parity with XLA's
+        # conv lowering; bf16 takes the fast single pass.
+        precision=jax.lax.Precision.HIGHEST if f32_exact else None,
+    )
 
 
 def conv4x4_stride2(
@@ -25,38 +63,30 @@ def conv4x4_stride2(
     """torch Conv2d(Cin, Cout, kernel_size=4, stride=2, padding=1) on NHWC.
 
     x: (N, H, W, C) with H, W even; kernel: HWIO (4, 4, C, Cout).
+    Differentiated by plain autodiff: a hand-written VJP (bf16 cotangents,
+    explicit scatter into the block tensor) was MEASURED SLOWER (92 vs 73 ms
+    on the multi-level step) because the overlapping-slice accumulation
+    serializes; XLA's transpose of the slice/pad chain schedules better.
     """
+    return _fwd_impl(x, kernel, bias)
+
+
+def _fwd_impl(x, kernel, bias):
     n, h, w, c = x.shape
     kh, kw, kc, cout = kernel.shape
     assert (kh, kw) == (4, 4) and kc == c and h % 2 == 0 and w % 2 == 0
     oh, ow = h // 2, w // 2
+    f32 = x.dtype == jnp.float32
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    hb, wb = oh + 1, ow + 1
-    # Space-to-depth: (N, 2*hb, 2*wb, C) -> (N, hb, wb, 2*2*C), channel
-    # order (r, s, c).
-    blocks = xp.reshape(n, hb, 2, wb, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    blocks = blocks.reshape(n, hb, wb, 4 * c)
-
-    # W'[a, b]: (4C, Cout) with row order (r, s, c).
-    wk = kernel.reshape(2, 2, 2, 2, c, cout)  # (a, r, b, s, c, o)
+    blocks = _s2d(x)
     out = None
-    for a in (0, 1):
-        for b in (0, 1):
-            wab = wk[a, :, b].reshape(4 * c, cout)
-            xab = jax.lax.slice(
-                blocks, (0, a, b, 0), (n, a + oh, b + ow, 4 * c)
-            )
-            y = jax.lax.dot_general(
-                xab, wab,
-                dimension_numbers=(((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                # f32 inputs keep (multi-pass) f32 MXU precision — parity
-                # with XLA's conv lowering; bf16 takes the fast single pass.
-                precision=(jax.lax.Precision.HIGHEST
-                           if x.dtype == jnp.float32 else None),
-            )
-            out = y if out is None else out + y
+    for i, wab in enumerate(_wprime(kernel.astype(x.dtype))):
+        a, b = divmod(i, 2)
+        xab = jax.lax.slice(blocks, (0, a, b, 0), (n, a + oh, b + ow, 4 * c))
+        y = _dot(xab, wab, f32)
+        out = y if out is None else out + y
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
