@@ -33,8 +33,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from adaptsegnet_tpu.models.layers import (
-    BatchNorm2d,
-    Conv2d,
     conv_bn_folded,
     max_pool_3x3_s2,
     normal_conv_init,
@@ -46,9 +44,9 @@ Dtype = Any
 class Bottleneck(nn.Module):
     """1x1(stride)/3x3(dilated)/1x1(x4) residual block, frozen BN.
 
-    Conv+BN pairs use the BN-folded lowering (layers.ConvBN2d): the frozen
-    normalization is applied to the weights instead of the activations —
-    same math, one fewer activation-bandwidth pass per conv.
+    Conv+BN pairs use the BN-folded lowering (layers.conv_bn_folded): the
+    frozen normalization is applied to the weights instead of the
+    activations — same math, one fewer activation-bandwidth pass per conv.
     """
 
     planes: int

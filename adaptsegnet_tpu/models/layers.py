@@ -11,7 +11,7 @@ kaiming-uniform(+uniform bias) for the discriminator, and xavier-normal
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -17,6 +17,8 @@ from adaptsegnet_tpu.ops.losses import (
     ls_gan_mse,
 )
 from adaptsegnet_tpu.ops.metrics import fast_hist, per_class_iu, mean_iou
+from adaptsegnet_tpu.ops.aspp import aspp_matmul
+from adaptsegnet_tpu.ops.conv4x4 import conv4x4_stride2
 
 __all__ = [
     "resize_bilinear_align_corners",
@@ -29,4 +31,6 @@ __all__ = [
     "fast_hist",
     "per_class_iu",
     "mean_iou",
+    "aspp_matmul",
+    "conv4x4_stride2",
 ]

@@ -15,8 +15,6 @@ matmuls with K = 4C — clean MXU shapes, ~10x faster, exact same math.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

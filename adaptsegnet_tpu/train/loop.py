@@ -12,7 +12,6 @@ from __future__ import annotations
 import os.path as osp
 from typing import Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +32,6 @@ from adaptsegnet_tpu.train.steps import (
 from adaptsegnet_tpu.utils.checkpoint import CheckpointManager, save_snapshot_pth
 from adaptsegnet_tpu.utils.logging import ScalarLogger, format_losses
 from adaptsegnet_tpu.utils.profiling import StepTimer
-from adaptsegnet_tpu.utils import pth_interop
 
 
 def _mode_subdir(cfg: TrainConfig) -> str:

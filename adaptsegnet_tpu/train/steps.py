@@ -29,9 +29,6 @@ its BN runs in batch-stats mode with running stats updated.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 
