@@ -22,10 +22,20 @@ DATA_AXIS = "data"
 
 
 def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over `num_devices` (0 = all local devices)."""
+    """1-D data-parallel mesh over `num_devices` (0 = all local devices).
+
+    Raises if fewer than `num_devices` devices exist — a silently smaller
+    mesh would make every downstream sharding test vacuous.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh: requested {num_devices} devices but only "
+                f"{len(devices)} available on platform "
+                f"{devices[0].platform if devices else '?'}"
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 
@@ -41,7 +51,16 @@ def auto_mesh_size(batch_size: int, num_devices: int = 0) -> int:
     d = min(available, batch_size)
     while batch_size % d:
         d -= 1
-    return max(d, 1)
+    d = max(d, 1)
+    if d < available:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "auto_mesh_size: batch %d uses only %d of %d devices "
+            "(batch must be divisible by the mesh size; %d idle)",
+            batch_size, d, available, available - d,
+        )
+    return d
 
 
 def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
