@@ -5,9 +5,19 @@ variants. The U-Net encode/decode stages live in models/warper.py; this
 module provides the remaining blocks so the full zoo is available:
 
   * SpectralConv2d / SpectralConvTranspose2d — spectral-norm-constrained
-    convs (custom_layers.py:4-22). Spectral norm uses one power-iteration
-    step per call with persistent u/v vectors (torch parity), stored in the
-    'spectral' collection (mutable during training).
+    conv / 4x4-stride-2 transposed conv (custom_layers.py:4-22). Spectral
+    norm uses one power-iteration step per call with a persistent u vector
+    (torch parity), stored in the 'spectral' collection (mutable during
+    training). For the transpose, torch's spectral_norm normalizes over
+    dim=1 (out_channels) — matched here.
+  * OneOneConvolution — 1x1 conv wrapper (custom_layers.py:52-64). The
+    reference constructs a second ReLU+1x1 'one_one' branch that its
+    forward never uses; the params are created here too so exported state
+    dicts carry the same surface.
+  * Connection — the per-skip 1x1 projection list (warper.py:15-33). The
+    reference's forward would IndexError (loops num_layers entries over a
+    num_layers-3 list); this version applies each existing projection to
+    warp_list[i+1] and appends warp_list[-1], the evident intent.
   * InstanceNorm2d — the 'Instance' norm_layer option
     (custom_layers via SkipConnectionDecode, warper.py:104-106).
   * PReLU — channelwise parametric ReLU (torch default init 0.25).
@@ -29,7 +39,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adaptsegnet_tpu.models.layers import Conv2d, leaky_relu, xavier_normal_init
+from adaptsegnet_tpu.models.layers import (
+    Conv2d,
+    leaky_relu,
+    torch_default_kernel_init,
+    xavier_normal_init,
+)
 
 Dtype = Any
 
@@ -119,6 +134,101 @@ class SpectralConv2d(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+class SpectralConvTranspose2d(nn.Module):
+    """ConvTranspose2d(k=4, s=2, p=1) wrapped in spectral normalization
+    (reference SpectralTranspose, custom_layers.py:14-22).
+
+    torch's spectral_norm uses dim=1 for ConvTranspose modules, i.e. the
+    weight is viewed as (cout, cin*kh*kw) with u of length cout — matched.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = xavier_normal_init(0.02)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        from adaptsegnet_tpu.ops.conv_transpose4x4 import (
+            conv_transpose4x4_stride2,
+        )
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (4, 4, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,)) if self.use_bias else None)
+        # HWIO -> (cout, cin, kh, kw) -> (cout, fan); torch views the
+        # (cin, cout, kh, kw) weight permuted to put cout first (dim=1).
+        w = kernel.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+            self.features, -1)
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(0), (self.features,), jnp.float32),
+        )
+        u = u_var.value
+        eps = 1e-12
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u_new = w @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + eps)
+        if update_stats and not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u_new)
+        sigma = jnp.dot(u_new, w @ v)
+        w_sn = (kernel.astype(jnp.float32) / sigma).astype(self.dtype)
+        return conv_transpose4x4_stride2(
+            x.astype(self.dtype), w_sn,
+            None if bias is None else bias.astype(self.dtype),
+        )
+
+
+class OneOneConvolution(nn.Module):
+    """1x1 conv (reference custom_layers.py:52-64). forward = the 'input'
+    conv only; the 'one_one' ReLU+1x1 branch exists as params but is never
+    applied (reference parity — its Sequential is constructed and unused)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        # Unused-branch params, kept for state-dict surface parity.
+        self.param("one_one_kernel", torch_default_kernel_init,
+                   (1, 1, cin, self.features))
+        if self.use_bias:
+            self.param("one_one_bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return Conv2d(self.features, 1, use_bias=self.use_bias,
+                      kernel_init=torch_default_kernel_init,
+                      dtype=self.dtype, name="input")(x)
+
+
+class Connection(nn.Module):
+    """Per-skip 1x1 projections (reference warper.py:15-33): num_layers-3
+    OneOneConvolution(512 -> warp_channels) modules. The reference forward
+    indexes past the list (would IndexError); here each existing projection
+    i maps warp_list[i+1], then warp_list[-1] passes through — the evident
+    intent of the loop."""
+
+    num_layers: int = 6
+    warp_channels: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, warp_list):
+        out_ch = self.warp_channels if self.warp_channels else 2 * 512
+        container = []
+        for i in range(self.num_layers - 3):
+            proj = OneOneConvolution(out_ch, use_bias=True, dtype=self.dtype,
+                                     name=f"one_one_{i}")
+            container.append(proj(warp_list[i + 1]))
+        container.append(warp_list[-1])
+        return container
 
 
 class AdvancedDecoderOutput(nn.Module):

@@ -50,7 +50,10 @@ class DeeplabVGG(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_features: bool = False):
+        """return_features=True stops after fc7+ReLU (the reference's
+        `self.features` output, model/deeplab_vgg.py:44) — used by parity
+        tests to drive the reference's own classifier head."""
         for item in _VGG_PLAN:
             if item is None:
                 x = max_pool_2x2_s2(x)
@@ -68,6 +71,8 @@ class DeeplabVGG(nn.Module):
         x = Conv2d(1024, 3, padding=4, dilation=4, use_bias=True,
                    dtype=self.dtype, name="fc7")(x)
         x = nn.relu(x)
+        if return_features:
+            return x
         return ClassifierModule(
             self.num_classes, aspp_sum=self.aspp_sum, dtype=self.dtype,
             name="classifier",

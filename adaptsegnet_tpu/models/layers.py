@@ -147,6 +147,67 @@ class Conv2d(nn.Module):
         )(x)
 
 
+class ConvTranspose2d(nn.Module):
+    """torch ConvTranspose2d(k=4, s=2, p=1) — the Warper transpose-decoder
+    upsampler (reference model/custom_layers.py:36-44,176-179).
+
+    Lowered to phase matmuls (ops/conv_transpose4x4.py) instead of XLA's
+    input-dilated strided conv. Param layout matches Conv2d
+    ('conv'/{kernel,bias}) with kernel HWIO (4, 4, Cin, Cout) = torch's
+    (Cin, Cout, 4, 4) transposed (2, 3, 0, 1).
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = xavier_normal_init(0.02)
+    bias_init: Callable | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if (self.kernel_size, self.stride, self.padding) != (4, 2, 1):
+            raise NotImplementedError(
+                "ConvTranspose2d implements the reference's only transpose "
+                "shape: kernel 4, stride 2, padding 1"
+            )
+        from adaptsegnet_tpu.ops.conv_transpose4x4 import (
+            conv_transpose4x4_stride2,
+        )
+
+        class _P(nn.Module):
+            cin: int
+            cout: int
+            use_bias: bool
+            kernel_init: Callable
+            bias_init: Callable
+
+            @nn.compact
+            def __call__(self):
+                k = self.param(
+                    "kernel", self.kernel_init, (4, 4, self.cin, self.cout)
+                )
+                b = (
+                    self.param("bias", self.bias_init, (self.cout,))
+                    if self.use_bias
+                    else None
+                )
+                return k, b
+
+        k, b = _P(
+            x.shape[-1], self.features, self.use_bias,
+            self.kernel_init, self.bias_init or nn.initializers.zeros_init(),
+            name="conv",
+        )()
+        x = x.astype(self.dtype)
+        return conv_transpose4x4_stride2(
+            x, jnp.asarray(k, self.dtype),
+            None if b is None else jnp.asarray(b, self.dtype),
+        )
+
+
 class BatchNorm2d(nn.Module):
     """BatchNorm with torch semantics (eps 1e-5, momentum 0.1).
 

@@ -39,7 +39,12 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from adaptsegnet_tpu.models.layers import Conv2d, leaky_relu, xavier_normal_init
+from adaptsegnet_tpu.models.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    leaky_relu,
+    xavier_normal_init,
+)
 from adaptsegnet_tpu.ops.resize import resize_bilinear_half_pixel
 
 Dtype = Any
@@ -126,34 +131,61 @@ class WarperEncoder(nn.Module):
 
 
 class WarperDecoder(nn.Module):
-    """SkipConnectionDecode (transpose=False): upsample-conv stages + skips."""
+    """SkipConnectionDecode: up stages + skips.
+
+    transpose=False (shipped default): ReLU -> bilinear x2 -> 3x3 conv -> BN.
+    transpose=True: ReLU -> ConvTranspose2d(4, s2, p1) -> BN (reference
+    custom_layers.py:122-127,147-152,176-179).
+    use_dropout applies Dropout(0.5) after each UpConvolution stage (not the
+    DecoderInput or the output stage, custom_layers.py:144-168).
+    """
 
     num_layers: int = 7  # driving_num_layers = warper num_layers - 1
     out_channel: int = 2
     norm: str = "Batch"
+    transpose: bool = False
+    use_dropout: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, latent, skips, train: bool = True):
         def up_stage(x, cout, name, use_bn=True, use_bias=False):
             x = nn.relu(x)
-            n, h, w, c = x.shape
-            # bf16 compute takes the fast in-dtype resize path.
-            x = resize_bilinear_half_pixel(
-                x, (h * 2, w * 2), exact=self.dtype == jnp.float32
-            )
-            if self.norm == "Spectral" and use_bn:
-                from adaptsegnet_tpu.models.custom_blocks import SpectralConv2d
+            biased = use_bias or (use_bn and self.norm == "Instance")
+            if self.transpose:
+                if self.norm == "Spectral" and use_bn:
+                    from adaptsegnet_tpu.models.custom_blocks import (
+                        SpectralConvTranspose2d,
+                    )
 
-                x = SpectralConv2d(cout, 3, stride=1, padding=1, use_bias=True,
-                                   dtype=self.dtype, name=f"{name}_conv")(
-                    x, update_stats=train)
-                return x
-            x = Conv2d(
-                cout, 3, padding=1,
-                use_bias=use_bias or (use_bn and self.norm == "Instance"),
-                kernel_init=_XAVIER, dtype=self.dtype, name=f"{name}_conv",
-            )(x)
+                    return SpectralConvTranspose2d(
+                        cout, use_bias=True, dtype=self.dtype,
+                        name=f"{name}_conv",
+                    )(x, update_stats=train)
+                x = ConvTranspose2d(
+                    cout, use_bias=biased, kernel_init=_XAVIER,
+                    dtype=self.dtype, name=f"{name}_conv",
+                )(x)
+            else:
+                n, h, w, c = x.shape
+                # bf16 compute takes the fast in-dtype resize path.
+                x = resize_bilinear_half_pixel(
+                    x, (h * 2, w * 2), exact=self.dtype == jnp.float32
+                )
+                if self.norm == "Spectral" and use_bn:
+                    from adaptsegnet_tpu.models.custom_blocks import (
+                        SpectralConv2d,
+                    )
+
+                    return SpectralConv2d(
+                        cout, 3, stride=1, padding=1, use_bias=True,
+                        dtype=self.dtype, name=f"{name}_conv",
+                    )(x, update_stats=train)
+                x = Conv2d(
+                    cout, 3, padding=1, use_bias=biased,
+                    kernel_init=_XAVIER, dtype=self.dtype,
+                    name=f"{name}_conv",
+                )(x)
             if use_bn:
                 x = _make_norm(self.norm, self.dtype, f"{name}_bn")(x, train)
             return x
@@ -168,6 +200,9 @@ class WarperDecoder(nn.Module):
             if i != 0:
                 out = jnp.concatenate([skips[i - 1], out], axis=-1)
             out = up_stage(out, cout, f"up{i}")
+            if self.use_dropout and i != 0:
+                out = nn.Dropout(rate=0.5, deterministic=not train,
+                                 name=f"up{i}_dropout")(out)
             warp_list.append(out)
         out = up_stage(out, self.out_channel, "output", use_bn=False,
                        use_bias=True)
@@ -183,6 +218,8 @@ class Warper(nn.Module):
 
     num_layers: int = 8
     norm: str = "Batch"  # Batch | Instance | Spectral (reference warper.py:217)
+    transpose: bool = False  # ConvTranspose2d upsampling (warper.py:218)
+    use_dropout: bool = False  # Dropout(0.5) after Up stages (warper.py:218)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -192,7 +229,8 @@ class Warper(nn.Module):
             name="encoder_d",
         )(pose, train)
         flow, warp_list = WarperDecoder(
-            num_layers=self.num_layers - 1, norm=self.norm, dtype=self.dtype,
-            name="decoder_d",
+            num_layers=self.num_layers - 1, norm=self.norm,
+            transpose=self.transpose, use_dropout=self.use_dropout,
+            dtype=self.dtype, name="decoder_d",
         )(latent, skips, train)
         return flow, warp_list

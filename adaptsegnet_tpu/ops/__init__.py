@@ -19,6 +19,7 @@ from adaptsegnet_tpu.ops.losses import (
 from adaptsegnet_tpu.ops.metrics import fast_hist, per_class_iu, mean_iou
 from adaptsegnet_tpu.ops.aspp import aspp_matmul
 from adaptsegnet_tpu.ops.conv4x4 import conv4x4_stride2
+from adaptsegnet_tpu.ops.conv_transpose4x4 import conv_transpose4x4_stride2
 
 __all__ = [
     "resize_bilinear_align_corners",
@@ -33,4 +34,5 @@ __all__ = [
     "mean_iou",
     "aspp_matmul",
     "conv4x4_stride2",
+    "conv_transpose4x4_stride2",
 ]

@@ -202,6 +202,88 @@ def discriminator_state_dict_to_variables(sd: Mapping[str, np.ndarray]) -> dict:
     return out
 
 
+def _convt_to_flax(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose2d weight (Cin, Cout, kh, kw) -> our HWIO.
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+_WARPER_ENC_RE = re.compile(
+    r"^encoder_d\.down_list\.(\d+)\.(?:input|block\.1\.(l|norm))\.(.+)$"
+)
+_WARPER_DEC_RE = re.compile(
+    r"^decoder_d\.up_list\.(\d+)\.(?:block\.(1|2)\.(l|norm)|output\.(1|2))\.(.+)$"
+)
+
+
+def warper_state_dict_to_variables(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference Warper torch state dict -> partial flax variables.
+
+    Handles both decoder layouts: transpose=False (Upsample+3x3 conv at
+    Sequential index 2) and transpose=True (ConvTranspose2d at index 1,
+    weight (Cin, Cout, 4, 4)) — reference model/custom_layers.py:117-188.
+    `connection.*` keys are dropped: the reference constructs the Connection
+    module but never calls it (model/warper.py:27-33), and never saves
+    warper weights to its snapshots either.
+    """
+    out: dict = {"params": {}, "batch_stats": {}}
+
+    def put_bn(scope, name, leaf, val):
+        coll, fname = {
+            "weight": ("params", "scale"),
+            "bias": ("params", "bias"),
+            "running_mean": ("batch_stats", "mean"),
+            "running_var": ("batch_stats", "var"),
+        }[leaf]
+        _set(out[coll], (scope, name, "bn", fname),
+             np.asarray(val, np.float32))
+
+    for key, val in sd.items():
+        key = strip_prefix(key)
+        if key.endswith("num_batches_tracked") or key.startswith("connection."):
+            continue
+        if key.startswith("encoder_d.out.down.1."):
+            leaf = key.rsplit(".", 1)[1]
+            val = _conv_to_flax(val) if leaf == "weight" else val
+            _set(out["params"],
+                 ("encoder_d", "out", "conv",
+                  "kernel" if leaf == "weight" else "bias"),
+                 np.asarray(val, np.float32))
+            continue
+        m = _WARPER_ENC_RE.match(key)
+        if m:
+            idx, mod, leaf = int(m.group(1)), m.group(2), m.group(3)
+            if mod == "norm":
+                put_bn("encoder_d", f"down{idx}_bn", leaf, val)
+            else:  # 'l' conv or the unnormed 'input' conv (idx 0)
+                val = _conv_to_flax(val) if leaf == "weight" else val
+                _set(out["params"],
+                     ("encoder_d", f"down{idx}", "conv",
+                      "kernel" if leaf == "weight" else "bias"),
+                     np.asarray(val, np.float32))
+            continue
+        m = _WARPER_DEC_RE.match(key)
+        if m:
+            idx, blk_idx, mod, out_idx, leaf = m.groups()
+            idx = int(idx)
+            is_output = out_idx is not None
+            transposed = (out_idx or blk_idx) == "1"
+            name = "output_conv" if is_output else f"up{idx}_conv"
+            if mod == "norm":
+                put_bn("decoder_d", f"up{idx}_bn", leaf, val)
+            else:
+                if leaf == "weight":
+                    val = _convt_to_flax(val) if transposed else _conv_to_flax(val)
+                _set(out["params"],
+                     ("decoder_d", name, "conv",
+                      "kernel" if leaf == "weight" else "bias"),
+                     np.asarray(val, np.float32))
+            continue
+        raise KeyError(f"unrecognized Warper checkpoint key: {key}")
+    if not out["batch_stats"]:
+        del out["batch_stats"]
+    return out
+
+
 def merge_variables(base: Mapping[str, Any], partial: Mapping[str, Any]) -> dict:
     """Deep-merge `partial` over `base`, verifying shapes match.
 

@@ -1,0 +1,219 @@
+"""Parity vs the REFERENCE'S OWN torch modules (not a re-written oracle).
+
+These tests import the actual model code from /root/reference/model/ (torch
+CPU, read-only import — no code copied), randomize its weights, ship the
+state dict through utils/pth_interop, and assert forward equality against
+the flax models. A shared misreading of the reference architecture between
+our models and tests/torch_oracle.py (same author) would slip through the
+oracle tests; it cannot slip through these.
+
+Skipped wholesale if /root/reference is absent (e.g. a user checkout).
+
+Not coverable this way:
+  * DeeplabVGG end-to-end — torchvision is not installed and the reference
+    constructor is python-2-broken (`range(23)+range(24,30)`,
+    model/deeplab_vgg.py:34). We import the reference's Classifier_Module
+    (with its early-return quirk) and drive it on the flax feature output.
+  * ResNetMulti.warp — hard-codes `.cuda()` (model/deeplab_multi.py:253);
+    warp parity is covered by tests/test_sampling.py against
+    torch.nn.functional.grid_sample directly.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "model")),
+    reason="reference checkout not available",
+)
+
+if os.path.isdir(REFERENCE) and REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import torch  # noqa: E402
+
+from adaptsegnet_tpu.models import (  # noqa: E402
+    DeeplabMulti,
+    DeeplabSingle,
+    DeeplabVGG,
+    FCDiscriminator,
+    Warper,
+)
+from adaptsegnet_tpu.ops.resize import upsample_logits  # noqa: E402
+from adaptsegnet_tpu.utils import pth_interop  # noqa: E402
+
+H, W = 128, 256  # realistic aspect at test-tractable size
+
+
+def _randomize_state_dict(module, seed):
+    """Perturb every tensor (incl. BN running stats) so the fold paths and
+    stat handling are exercised with non-trivial values."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if v.dtype not in (torch.float32, torch.float64):
+            continue
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) * 1.5 + 0.5
+        elif k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith((".weight", ".bias")) and v.ndim == 1:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1 + (
+                1.0 if k.endswith(".weight") else 0.0
+            )
+        else:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.02
+    module.load_state_dict(sd)
+    return {k: v.numpy() for k, v in module.state_dict().items()}
+
+
+def _max_abs(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def test_deeplab_multi_vs_reference():
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    torch.manual_seed(0)
+    ref = RefDeeplabMulti(num_classes=19).eval()
+    sd = _randomize_state_dict(ref, seed=10)
+    x = np.random.default_rng(0).standard_normal((1, H, W, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        # reference input_size is (W, H): forward upsamples to
+        # (input_size[1], input_size[0]) (model/deeplab_multi.py:188-189).
+        r1, r2 = ref(torch.from_numpy(x).permute(0, 3, 1, 2), (W, H))
+    r1 = r1.permute(0, 2, 3, 1).numpy()
+    r2 = r2.permute(0, 2, 3, 1).numpy()
+
+    model = DeeplabMulti(num_classes=19)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    loaded = pth_interop.resnet_state_dict_to_variables(sd)
+    variables = pth_interop.merge_variables(variables, loaded)
+    p1, p2 = jax.jit(model.apply)(variables, jnp.asarray(x))
+    p1 = np.asarray(upsample_logits(p1, (H, W)))
+    p2 = np.asarray(upsample_logits(p2, (H, W)))
+
+    d1, d2 = _max_abs(p1, r1), _max_abs(p2, r2)
+    assert d1 < 1e-5 and d2 < 1e-5, (d1, d2)
+
+
+def test_deeplab_single_oracle_vs_reference():
+    from model.deeplab import Res_Deeplab as RefResDeeplab
+
+    torch.manual_seed(1)
+    ref = RefResDeeplab(num_classes=19).eval()
+    sd = _randomize_state_dict(ref, seed=11)
+    x = np.random.default_rng(1).standard_normal((1, H, W, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        r = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    r = r.permute(0, 2, 3, 1).numpy()
+
+    # default aspp_sum='first2' mirrors the reference Classifier_Module
+    # early return (model/deeplab.py:113-116).
+    model = DeeplabSingle(num_classes=19)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+    loaded = pth_interop.resnet_state_dict_to_variables(sd)
+    variables = pth_interop.merge_variables(variables, loaded)
+    p = jax.jit(model.apply)(variables, jnp.asarray(x))
+
+    d = _max_abs(p, r)
+    assert d < 1e-5, d
+
+
+def test_fc_discriminator_vs_reference():
+    from model.discriminator import FCDiscriminator as RefFCDiscriminator
+
+    torch.manual_seed(2)
+    ref = RefFCDiscriminator(num_classes=19).eval()
+    sd = _randomize_state_dict(ref, seed=12)
+    x = np.random.default_rng(2).uniform(0, 1, (2, 64, 128, 19)).astype(np.float32)
+
+    with torch.no_grad():
+        r = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    r = r.permute(0, 2, 3, 1).numpy()
+
+    model = FCDiscriminator(num_classes=19)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2), jnp.zeros((1, 64, 128, 19)))
+    loaded = pth_interop.discriminator_state_dict_to_variables(sd)
+    variables = pth_interop.merge_variables(variables, loaded)
+    p = jax.jit(model.apply)(variables, jnp.asarray(x))
+
+    d = _max_abs(p, r)
+    assert d < 1e-5, d
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_warper_vs_reference(transpose):
+    from model.warper import Warper as RefWarper
+
+    torch.manual_seed(3)
+    ref = RefWarper(norm="Batch", transpose=transpose).eval()
+    sd = _randomize_state_dict(ref, seed=13 + transpose)
+    x = np.random.default_rng(3).standard_normal((1, 512, 512, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        rflow, rlist = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    rflow = rflow.permute(0, 2, 3, 1).numpy()
+
+    model = Warper(norm="Batch", transpose=transpose)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(3), jnp.zeros((1, 512, 512, 3)))
+    loaded = pth_interop.warper_state_dict_to_variables(sd)
+    variables = pth_interop.merge_variables(variables, loaded)
+    flow, warp_list = jax.jit(
+        lambda v, y: model.apply(v, y, train=False)
+    )(variables, jnp.asarray(x))
+
+    assert len(warp_list) == len(rlist)
+    d = _max_abs(flow, rflow)
+    assert d < 1e-5, d
+
+
+def test_vgg_classifier_quirk_vs_reference():
+    """The reference VGG ASPP head sums only the first two branches
+    (model/deeplab_vgg.py:17-21 early return). Drive the reference's own
+    Classifier_Module on the flax feature tensor and compare heads."""
+    # model/deeplab_vgg.py imports torchvision at module level; torchvision
+    # is not installed here and only Classifier_Module is needed — stub the
+    # import so the module loads.
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    from model.deeplab_vgg import Classifier_Module as RefClassifierModule
+
+    torch.manual_seed(4)
+    ref_head = RefClassifierModule(1024, [6, 12, 18, 24], [6, 12, 18, 24], 19).eval()
+    head_sd = {
+        f"classifier.{k}": v.numpy() for k, v in ref_head.state_dict().items()
+    }
+
+    model = DeeplabVGG(num_classes=19)
+    x = np.random.default_rng(4).standard_normal((1, 64, 128, 3)).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(4), jnp.zeros((1, 64, 128, 3)))
+    loaded = pth_interop.vgg_state_dict_to_variables(head_sd)
+    variables = pth_interop.merge_variables(variables, loaded)
+    out = jax.jit(model.apply)(variables, jnp.asarray(x))
+
+    # Recompute the features torch-side from the SAME flax weights so the
+    # head comparison isolates the classifier quirk.
+    feats = jax.jit(
+        lambda v, y: model.apply(v, y, return_features=True)
+    )(variables, jnp.asarray(x))
+    with torch.no_grad():
+        r = ref_head(torch.from_numpy(np.asarray(feats)).permute(0, 3, 1, 2))
+    r = r.permute(0, 2, 3, 1).numpy()
+
+    d = _max_abs(out, r)
+    assert d < 1e-5, d
