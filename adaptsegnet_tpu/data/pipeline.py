@@ -58,6 +58,12 @@ class PrefetchIterator:
     a pytree of numpy arrays (non-array leaves like names are passed through
     host-side, unstaged). `prefetch` batches are decoded ahead and staged to
     device asynchronously.
+
+    `sharding` may be a Sharding (applied to every array leaf) or a callable
+    `leaf -> Sharding` (per-leaf, e.g. rank-dependent batch shardings). On a
+    multi-process runtime the staged leaf is assembled with
+    `jax.make_array_from_process_local_data`, so each host stages only its
+    local shard of the global batch.
     """
 
     def __init__(
@@ -97,8 +103,13 @@ class PrefetchIterator:
     def _stage(self, batch):
         def put(leaf):
             if isinstance(leaf, np.ndarray) and leaf.dtype != object:
-                if self._sharding is not None:
-                    return jax.device_put(leaf, self._sharding)
+                s = self._sharding
+                if callable(s):
+                    s = s(leaf)
+                if s is not None:
+                    if jax.process_count() > 1:
+                        return jax.make_array_from_process_local_data(s, leaf)
+                    return jax.device_put(leaf, s)
                 return jax.device_put(leaf)
             return leaf
 

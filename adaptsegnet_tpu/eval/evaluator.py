@@ -100,7 +100,7 @@ class Evaluator:
             dataset, batch_size, collate=stack_collate({0}),
             shuffle=False, num_workers=num_workers,
             max_batches=n // batch_size,
-        ) if n % batch_size == 0 else None  # ragged tail -> simple path
+        ) if n >= batch_size else None
 
         writer_pool = ThreadPoolExecutor(max_workers=2)
         futures = []
@@ -124,21 +124,26 @@ class Evaluator:
                 for mask, name in zip(np.asarray(masks), names):
                     futures.append(writer_pool.submit(save, mask, name))
 
+        start = 0
         if it is not None:
-            start = 0
             for batch in it:
                 images = batch[0]
                 names = batch[-1]
                 handle(self.eval_fn(variables, images), names, start)
                 start += batch_size
             it.close()
-        else:
-            for start in range(0, n, batch_size):
-                idxs = range(start, min(start + batch_size, n))
-                items = [dataset[i] for i in idxs]
-                images = jnp.asarray(np.stack([it_[0] for it_ in items]))
-                names = [it_[-1] for it_ in items]
-                handle(self.eval_fn(variables, images), names, start)
+        if start < n:
+            # Ragged tail (n % batch_size items): pad by repeating the last
+            # item so the jitted eval fn keeps its compiled shape (no
+            # recompile), then drop the padded masks.
+            items = [dataset[i] for i in range(start, n)]
+            k = len(items)
+            imgs = [it_[0] for it_ in items]
+            imgs += [imgs[-1]] * (batch_size - k)
+            images = jnp.asarray(np.stack(imgs))
+            names = [it_[-1] for it_ in items]
+            masks = self.eval_fn(variables, images)[:k]
+            handle(masks, names, start)
 
         for f in futures:
             written.append(f.result())

@@ -12,8 +12,8 @@ from __future__ import annotations
 import os.path as osp
 from typing import Optional
 
+import numpy as np
 import jax
-import jax.numpy as jnp
 
 from adaptsegnet_tpu.data import (
     CityscapesDataset,
@@ -21,8 +21,12 @@ from adaptsegnet_tpu.data import (
     PrefetchIterator,
     SynscapesDataset,
 )
-from adaptsegnet_tpu.data.pipeline import stack_collate
-from adaptsegnet_tpu.parallel import auto_mesh_size, make_mesh, replicate, shard_batch
+from adaptsegnet_tpu.parallel import (
+    auto_mesh_size,
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
 from adaptsegnet_tpu.train.build import build_train_state
 from adaptsegnet_tpu.train.config import TrainConfig
 from adaptsegnet_tpu.train.steps import (
@@ -43,9 +47,45 @@ def _mode_subdir(cfg: TrainConfig) -> str:
 
 
 def _batch_iter(cfg: TrainConfig, mesh=None):
-    """Yield step batches shaped (iter_size, B, H, W, ...)."""
+    """Yield step batches shaped (iter_size, B, H, W, ...).
+
+    Batches are collated directly to the (iter_size, B, ...) step layout
+    inside the prefetch thread and staged ONCE with the mesh batch sharding
+    (axis 1), so input staging fully overlaps the running step — no host
+    reshape or second device_put on the critical path. On a multi-process
+    runtime each host decodes only its interleaved slice of the global batch
+    (`shard_by_process`) and stages its local shard
+    (jax.make_array_from_process_local_data in data/pipeline.py). This is
+    the TPU-native replacement for the reference's DataLoader feed + the
+    DataParallel scatter (train_gta2cityscapes_multi.py:235-238,224-225).
+    """
     max_iters = cfg.num_steps * cfg.iter_size * cfg.batch_size
-    per_step = cfg.iter_size * cfg.batch_size
+    n_proc = jax.process_count()
+    if cfg.batch_size % n_proc:
+        raise ValueError(
+            f"global batch {cfg.batch_size} not divisible by "
+            f"{n_proc} processes"
+        )
+    local_bs = cfg.batch_size // n_proc
+    per_step_local = cfg.iter_size * local_bs
+    ishape = (cfg.iter_size, local_bs)
+
+    shard_fn = None
+    if mesh is not None:
+        shard_fn = lambda leaf: batch_sharding(mesh, leaf.ndim, batch_axis=1)
+
+    def collate_source(items):
+        img = np.stack([it[0] for it in items])
+        lab = np.stack([it[1] for it in items]).astype(np.int32)
+        return {
+            "images": img.reshape(ishape + img.shape[1:]),
+            "labels": lab.reshape(ishape + lab.shape[1:]),
+        }
+
+    def collate_target(items):
+        img = np.stack([it[0] for it in items])
+        return {"target_images": img.reshape(ishape + img.shape[1:])}
+
     source_cls = {"GTA5": GTA5Dataset, "Synscapes": SynscapesDataset}[cfg.source]
     source = source_cls(
         cfg.data_dir, cfg.data_list, max_iters=max_iters,
@@ -53,8 +93,9 @@ def _batch_iter(cfg: TrainConfig, mesh=None):
         mirror=cfg.random_mirror, seed=cfg.random_seed,
     )
     src_it = PrefetchIterator(
-        source, per_step, collate=stack_collate({0, 1, 2}),
+        source, per_step_local, collate=collate_source, sharding=shard_fn,
         shuffle=True, seed=cfg.random_seed, num_workers=cfg.num_workers,
+        shard_by_process=True,
     )
     tgt_it = None
     if not cfg.source_only:
@@ -64,27 +105,15 @@ def _batch_iter(cfg: TrainConfig, mesh=None):
             set=cfg.set, seed=cfg.random_seed,
         )
         tgt_it = PrefetchIterator(
-            target, per_step, collate=stack_collate({0, 1}),
+            target, per_step_local, collate=collate_target, sharding=shard_fn,
             shuffle=True, seed=cfg.random_seed + 1,
-            num_workers=cfg.num_workers,
+            num_workers=cfg.num_workers, shard_by_process=True,
         )
 
-    ishape = (cfg.iter_size, cfg.batch_size)
     while True:
-        img, lab, _, _ = next(src_it)
-        batch = {
-            "images": jnp.reshape(img, ishape + img.shape[1:]),
-            "labels": jnp.reshape(
-                jnp.asarray(lab, jnp.int32), ishape + lab.shape[1:]
-            ),
-        }
+        batch = dict(next(src_it))
         if tgt_it is not None:
-            timg, _, _ = next(tgt_it)
-            batch["target_images"] = jnp.reshape(
-                timg, ishape + timg.shape[1:]
-            )
-        if mesh is not None:
-            batch = shard_batch(mesh, batch, batch_axis=1)
+            batch.update(next(tgt_it))
         yield batch
 
 
@@ -168,6 +197,22 @@ def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
     }
 
     timer = StepTimer(warmup=2)
+    # Metric printing is decoupled from the step critical path: step i+1 is
+    # enqueued BEFORE step i's metrics are pulled to host, so the (expensive,
+    # per-call ~ms on the axon tunnel) device->host sync overlaps the next
+    # step's compute. Per-iter print parity with the reference is kept by
+    # printing one step late; the device_get on the previous step's metrics
+    # doubles as the steady-state step-time measurement.
+    pending = None  # (i_iter, device metrics of the previous step)
+
+    def emit(item):
+        it, dev_metrics = item
+        host = {k: float(v) for k, v in jax.device_get(dev_metrics).items()}
+        print(f"exp = {cfg.snapshot_dir}")
+        print(format_losses(it, cfg.num_steps, host))
+        logger.log(it, host)
+        return host
+
     try:
         for i_iter in range(start_step, stop):
             if cfg.profile_dir and i_iter == start_step + 3:
@@ -175,15 +220,12 @@ def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
             batch = next(batches)
             timer.start()
             state, metrics = step_fn(state, batch)
-            host_metrics = {
-                k: float(v) for k, v in jax.device_get(metrics).items()
-            }
+            if pending is not None:
+                emit(pending)  # waits for step i-1 while step i runs
             timer.stop()
+            pending = (i_iter, metrics)
             if cfg.profile_dir and i_iter == start_step + 6:
                 jax.profiler.stop_trace()
-            print(f"exp = {cfg.snapshot_dir}")
-            print(format_losses(i_iter, cfg.num_steps, host_metrics))
-            logger.log(i_iter, host_metrics)
 
             if stop_requested:
                 print(f"signal {stop_requested[0]} received; snapshotting ...")
@@ -196,6 +238,8 @@ def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
             if i_iter % cfg.save_pred_every == 0 and i_iter != 0:
                 print("taking snapshot ...")
                 snapshot(i_iter)
+        if pending is not None:
+            emit(pending)  # flush the last step's (lagged) metrics
     finally:
         for sig, h in old_handlers.items():
             signal.signal(sig, h)

@@ -138,3 +138,42 @@ def test_single_level_train_runs(env, tmp_path):
     m = summary["final_metrics"]
     assert np.isfinite(m["loss_D2"]) and m["loss_D2"] != 0.0
     assert m["loss_D1"] == 0.0
+
+
+def test_evaluator_ragged_tail_keeps_prefetch(env, tmp_path, monkeypatch):
+    """n % batch_size != 0 must still prefetch the full batches and pad the
+    remainder to the compiled batch shape (no recompile, nothing dropped)."""
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    from adaptsegnet_tpu.data import CityscapesDataset, lists
+    from adaptsegnet_tpu.eval.evaluator import Evaluator
+
+    cs_root = str(tmp_path / "cs")
+    val_list = lists.make_synthetic_cityscapes(cs_root, "val", n=5,
+                                               size_wh=(32, 16))
+    ds = CityscapesDataset(cs_root, val_list, crop_size=(32, 16), set="val")
+
+    class TinySeg(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            return fnn.Conv(19, (1, 1))(x)
+
+    model = TinySeg()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 3)))
+
+    calls = []
+    from adaptsegnet_tpu.data import pipeline as pipe
+
+    orig_cls = pipe.PrefetchIterator
+
+    def spy(*a, **kw):
+        calls.append(kw.get("max_batches"))
+        return orig_cls(*a, **kw)
+
+    monkeypatch.setattr(pipe, "PrefetchIterator", spy)
+
+    ev = Evaluator(model, out_hw=(16, 32), save_dir=str(tmp_path / "out"))
+    written = ev.run(variables, ds, batch_size=2)
+    assert calls == [2]  # prefetch engaged for the 2 full batches
+    assert len(written) == 5  # all 5 images written incl. the ragged one

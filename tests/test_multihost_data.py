@@ -36,3 +36,64 @@ def test_single_process_unchanged():
     b = np.concatenate(_take(
         epoch_batches(16, 4, seed=1, process_index=0, process_count=1), 4))
     np.testing.assert_array_equal(a, b)
+
+
+def test_batch_iter_two_processes_disjoint_union(tmp_path, monkeypatch):
+    """Two simulated processes, driven through train.loop._batch_iter, must
+    see disjoint slices whose union is the full (unique-file) epoch."""
+    import jax
+
+    from adaptsegnet_tpu.data import lists
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.loop import _batch_iter
+
+    gta_root = str(tmp_path / "gta5")
+    gta_list = lists.make_synthetic_gta5(gta_root, n=8, size_wh=(32, 16))
+    cfg = TrainConfig(
+        data_dir=gta_root, data_list=gta_list, input_size="32,16",
+        num_steps=2, batch_size=4, iter_size=1, source_only=True,
+        warper=False, restore_from="", num_workers=1,
+    )
+    # num_steps * iter_size * batch_size = 8 = one epoch of 8 unique files.
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    def run_as(pidx):
+        monkeypatch.setattr(jax, "process_index", lambda: pidx)
+        it = _batch_iter(cfg, mesh=None)
+        out = []
+        for _ in range(2):  # 2 local batches of 2 = the host's epoch slice
+            b = next(it)
+            imgs = np.asarray(b["images"]).reshape(-1, 16, 32, 3)
+            assert b["images"].shape == (1, 2, 16, 32, 3)  # (iter, local_b)
+            out.extend(im.tobytes() for im in imgs)
+        return set(out)
+
+    s0, s1 = run_as(0), run_as(1)
+    assert len(s0) == 4 and len(s1) == 4
+    assert s0 & s1 == set()
+    assert len(s0 | s1) == 8  # all 8 unique synthetic images covered
+
+
+def test_batch_iter_stages_with_mesh_sharding(tmp_path):
+    """Batches must arrive already laid out (iter_size, B, ...) AND sharded
+    over the mesh batch axis — no host reshape / re-placement downstream."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adaptsegnet_tpu.data import lists
+    from adaptsegnet_tpu.parallel import make_mesh
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.loop import _batch_iter
+
+    gta_root = str(tmp_path / "gta5")
+    gta_list = lists.make_synthetic_gta5(gta_root, n=4, size_wh=(32, 16))
+    cfg = TrainConfig(
+        data_dir=gta_root, data_list=gta_list, input_size="32,16",
+        num_steps=2, batch_size=4, iter_size=2, source_only=True,
+        warper=False, restore_from="", num_workers=1,
+    )
+    mesh = make_mesh(4)
+    b = next(_batch_iter(cfg, mesh=mesh))
+    assert b["images"].shape == (2, 4, 16, 32, 3)
+    assert b["labels"].dtype.name == "int32"
+    want = NamedSharding(mesh, P(None, "data", None, None, None))
+    assert b["images"].sharding.is_equivalent_to(want, 5)
