@@ -68,6 +68,10 @@ class TrainConfig:
     tensorboard: bool = False
     save_num_images: int = 2
 
+    # Device selection: reference --cpu flag (train_gta2cityscapes_multi.py
+    # :92-93,189 `device = torch.device('cpu' if args.cpu else 'cuda')`).
+    cpu: bool = False
+
     # TPU-native extras (no reference counterpart).
     num_devices: int = 0          # 0 = all local devices (data-parallel mesh)
     profile_dir: str = ""         # jax.profiler trace of a few steps
@@ -155,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "warper", d.warper, "Enable the flow-field Warper.")
     p.add_argument("--warper-norm", type=str, default=d.warper_norm,
                    help="Warper norm layer: Batch / Instance / Spectral")
+    p.add_argument("--cpu", action="store_true", default=d.cpu,
+                   help="choose to use cpu device.")
     p.add_argument("--num-devices", type=int, default=d.num_devices)
     p.add_argument("--profile-dir", type=str, default=d.profile_dir)
     p.add_argument("--compute-dtype", type=str, default=d.compute_dtype)

@@ -119,6 +119,18 @@ def _batch_iter(cfg: TrainConfig, mesh=None):
 
 def train(cfg: TrainConfig, max_steps: Optional[int] = None) -> dict:
     """Run training; returns a summary dict (final losses, snapshot paths)."""
+    if cfg.cpu:
+        # Reference --cpu (train_gta2cityscapes_multi.py:92-93,189). Only
+        # effective before first backend use; warn if a non-CPU backend is
+        # already live (platform selection is process-wide in JAX).
+        jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "--cpu requested but the %s backend is already initialized; "
+                "continuing on it", jax.devices()[0].platform,
+            )
     mesh = make_mesh(auto_mesh_size(cfg.batch_size, cfg.num_devices))
     state, modules = build_train_state(cfg)
     state = replicate(mesh, state)
