@@ -143,6 +143,10 @@ class Conv2d(nn.Module):
             bias_init=bias_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            # f32 = parity path: force true-f32 MXU passes (TPU DEFAULT
+            # multiplies f32 operands in bf16). See conv_bn_folded.
+            precision=(jax.lax.Precision.HIGHEST
+                       if self.dtype == jnp.float32 else None),
             name="conv",
         )(x)
 
@@ -334,6 +338,12 @@ def conv_bn_folded(
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # f32 is the bit-parity path: TPU's DEFAULT conv precision multiplies
+        # in bf16 even for f32 operands, which silently breaks torch-exact
+        # eval on hardware (CPU tests wouldn't catch it). bf16 compute keeps
+        # the fast single pass.
+        precision=(jax.lax.Precision.HIGHEST
+                   if dtype == jnp.float32 else None),
     )
     return y + b_folded
 

@@ -70,6 +70,10 @@ def aspp_matmul(
         x, wcat.astype(x.dtype),
         dimension_numbers=(((3,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 inputs = the bit-parity path (TPU DEFAULT would multiply in
+        # bf16); bf16 keeps the fast single pass. Matches ops/conv4x4.py.
+        precision=(jax.lax.Precision.HIGHEST
+                   if x.dtype == jnp.float32 else None),
     )  # (N, H, W, n*9*K) in f32
 
     out = jnp.zeros(x.shape[:3] + (k_out,), jnp.float32)
