@@ -329,22 +329,45 @@ def conv_bn_folded(
                                name=conv_name)()
     scale, bias, mean, var = _FrozenBNParams(features, name=bn_name)()
 
-    s = (scale * jax.lax.rsqrt(var + epsilon)).astype(jnp.float32)
-    w_folded = (kernel.astype(jnp.float32) * s).astype(dtype)
-    b_folded = (bias - mean * s).astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), w_folded,
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        # f32 is the bit-parity path: TPU's DEFAULT conv precision multiplies
-        # in bf16 even for f32 operands, which silently breaks torch-exact
-        # eval on hardware (CPU tests wouldn't catch it). bf16 compute keeps
-        # the fast single pass.
-        precision=(jax.lax.Precision.HIGHEST
-                   if dtype == jnp.float32 else None),
+    # The backbone BN affine params are FROZEN (reference requires_grad=False
+    # + optimizer exclusion, model/deeplab_multi.py:131-132,196-218; our
+    # optim labels them lr*0). stop_gradient here lets XLA delete their
+    # gradient reductions outright — measured ~4-7 ms/step of pure waste
+    # (one sum-over-activations per conv per backbone pass) otherwise.
+    s = jax.lax.stop_gradient(
+        (scale * jax.lax.rsqrt(var + epsilon)).astype(jnp.float32)
     )
+    w_folded = (kernel.astype(jnp.float32) * s).astype(dtype)
+    b_folded = jax.lax.stop_gradient((bias - mean * s).astype(dtype))
+    x = x.astype(dtype)
+    # f32 is the bit-parity path: TPU's DEFAULT conv precision multiplies in
+    # bf16 even for f32 operands, which silently breaks torch-exact eval on
+    # hardware (CPU tests wouldn't catch it). bf16 compute keeps the fast
+    # single pass. The f32_exact flag below propagates the same rule into
+    # the custom-VJP lowerings.
+    f32_exact = dtype == jnp.float32
+    if kernel_size == 3 and stride == 1 and padding == dilation:
+        # MXU-shaped custom backward (ops/conv3x3.py): dgrad as a forward
+        # conv, wgrad as nine dot_generals — ~3-4x faster than XLA's
+        # generic conv backwards at these batch-1 shapes.
+        from adaptsegnet_tpu.ops.conv3x3 import conv3x3_s1
+
+        y = conv3x3_s1(x, w_folded, dilation, f32_exact)
+    elif kernel_size == 7 and stride == 2 and padding == 3:
+        # Stem conv: fast space-to-depth wgrad (3-channel input wastes
+        # 125/128 MXU lanes in the native wgrad).
+        from adaptsegnet_tpu.ops.conv3x3 import conv7x7_s2
+
+        y = conv7x7_s2(x, w_folded, f32_exact)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w_folded,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(jax.lax.Precision.HIGHEST if f32_exact else None),
+        )
     return y + b_folded
 
 

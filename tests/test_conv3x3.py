@@ -1,0 +1,85 @@
+"""Custom-VJP backbone convs (ops/conv3x3.py): forward + grad parity vs
+torch's conv2d autograd, across dilations and the 7x7/s2 stem."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from adaptsegnet_tpu.ops.conv3x3 import conv3x3_s1, conv7x7_s2
+
+
+@pytest.mark.parametrize("dilation,cin,cout", [(1, 8, 16), (2, 16, 8), (4, 8, 8)])
+def test_conv3x3_forward_and_grads_match_torch(rng, dilation, cin, cout):
+    d = dilation
+    x = rng.standard_normal((2, 12, 16, cin), dtype=np.float32)
+    w = rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1
+    dy = rng.standard_normal((2, 12, 16, cout), dtype=np.float32)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    tw = torch.from_numpy(w.transpose(3, 2, 0, 1)).requires_grad_(True)
+    ty = F.conv2d(tx, tw, stride=1, padding=d, dilation=d)
+    ty.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+
+    f = lambda x_, w_: conv3x3_s1(x_, w_, d, True)
+    y, vjp = jax.vjp(f, jnp.asarray(x), jnp.asarray(w))
+    gx, gw = vjp(jnp.asarray(dy))
+
+    np.testing.assert_allclose(
+        np.asarray(y), ty.detach().permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gw), tw.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_conv7x7_s2_forward_and_wgrad_match_torch(rng):
+    x = rng.standard_normal((1, 32, 48, 3), dtype=np.float32)
+    w = rng.standard_normal((7, 7, 3, 16), dtype=np.float32) * 0.1
+    dy = rng.standard_normal((1, 16, 24, 16), dtype=np.float32)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    tw = torch.from_numpy(w.transpose(3, 2, 0, 1)).requires_grad_(True)
+    ty = F.conv2d(tx, tw, stride=2, padding=3)
+    ty.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+
+    f = lambda x_, w_: conv7x7_s2(x_, w_, True)
+    y, vjp = jax.vjp(f, jnp.asarray(x), jnp.asarray(w))
+    gx, gw = vjp(jnp.asarray(dy))
+
+    np.testing.assert_allclose(
+        np.asarray(y), ty.detach().permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gw), tw.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff_of_native_conv(rng):
+    """The custom backward must be numerically interchangeable with plain
+    autodiff of the same forward (same math, different lowering)."""
+    x = jnp.asarray(rng.standard_normal((1, 10, 14, 8), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8), dtype=np.float32) * 0.1)
+
+    def native(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), ((2, 2), (2, 2)), rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+
+    loss_c = lambda x_, w_: jnp.sum(conv3x3_s1(x_, w_, 2, True) ** 2)
+    loss_n = lambda x_, w_: jnp.sum(native(x_, w_) ** 2)
+    gc = jax.grad(loss_c, argnums=(0, 1))(x, w)
+    gn = jax.grad(loss_n, argnums=(0, 1))(x, w)
+    for a, b in zip(gc, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
