@@ -29,7 +29,7 @@ def test_dryrun_multichip_fresh_subprocess():
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1500,  # cold CPU compile of the full step is ~7 min on 1 core
     )
     assert proc.returncode == 0, (
         f"dryrun_multichip failed rc={proc.returncode}\n"
