@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from adaptsegnet_tpu.ops import cross_entropy_2d, gan_loss, upsample_logits
-from adaptsegnet_tpu.ops.sampling import warp_with_flow
+from adaptsegnet_tpu.ops.pallas.upsample_warp import upsample_warp
 from adaptsegnet_tpu.train.state import TrainState
 
 SOURCE_LABEL = 0.0  # reference :363
@@ -61,23 +61,28 @@ def _forward_warper(warper_module, wstate, images):
     return flow, {k: mut[k] for k in mutable}
 
 
-def _seg_forward(model, params, batch_stats, images, input_hw):
+def _seg_forward(model, params, batch_stats, images, input_hw, flow=None):
     """Segmenter forward -> (pred1_up, pred2_up) at input resolution.
 
     bf16 models get the fast in-dtype resize (the exact f32 interpolation
     only matters for bit-parity eval; in training it costs real time in both
     fwd and bwd at full resolution).
-    """
-    import jax.numpy as jnp
 
+    When `flow` is given (warper-on modes), the main head's upsample and the
+    flow warp are FUSED into the Pallas MXU-contraction kernel
+    (ops/pallas/upsample_warp.py) instead of resize-then-gather — the gather
+    warp's scatter-add backward alone cost ~57 ms/step at (512, 1024) on
+    v5e. Same math as warp_with_flow(upsample_logits(...)), summed in a
+    different order.
+    """
     exact = getattr(model, "dtype", jnp.float32) == jnp.float32
     pred1, pred2 = model.apply(
         {"params": params, "batch_stats": batch_stats}, images
     )
-    return (
-        upsample_logits(pred1, input_hw, exact=exact),
-        upsample_logits(pred2, input_hw, exact=exact),
-    )
+    pred1_up = upsample_logits(pred1, input_hw, exact=exact)
+    if flow is None:
+        return pred1_up, upsample_logits(pred2, input_hw, exact=exact)
+    return pred1_up, upsample_warp(pred2, flow, input_hw)
 
 
 def make_source_only_step(
@@ -107,10 +112,9 @@ def make_source_only_step(
 
             def loss_fn(params):
                 _, pred2 = _seg_forward(
-                    model, params, gstate.batch_stats, mb["images"], input_hw
+                    model, params, gstate.batch_stats, mb["images"], input_hw,
+                    flow=flow,
                 )
-                if flow is not None:
-                    pred2 = warp_with_flow(pred2, flow)
                 return cross_entropy_2d(pred2, mb["labels"])
 
             loss, grads = jax.value_and_grad(loss_fn)(gstate.params)
@@ -192,15 +196,13 @@ def make_adversarial_step(
 
             def g_loss_fn(params):
                 p1_s, p2_s = _seg_forward(
-                    model, params, gstate.batch_stats, mb["images"], input_hw
+                    model, params, gstate.batch_stats, mb["images"], input_hw,
+                    flow=flow,
                 )
                 p1_t, p2_t = _seg_forward(
                     model, params, gstate.batch_stats, mb["target_images"],
-                    input_hw,
+                    input_hw, flow=flow,
                 )
-                if flow is not None:
-                    p2_s = warp_with_flow(p2_s, flow)
-                    p2_t = warp_with_flow(p2_t, flow)
 
                 loss_seg2 = cross_entropy_2d(p2_s, mb["labels"])
                 loss_seg1 = (
