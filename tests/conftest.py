@@ -15,9 +15,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share ONE core here: a device thread can take
+    # minutes to reach a cross-replica all-reduce, and XLA:CPU's default
+    # 40 s rendezvous termination then hard-aborts the whole process
+    # (F rendezvous.cc "Exiting to ensure a consistent program state").
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
