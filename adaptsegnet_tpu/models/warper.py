@@ -45,11 +45,37 @@ from adaptsegnet_tpu.models.layers import (
     leaky_relu,
     xavier_normal_init,
 )
+from adaptsegnet_tpu.ops.planar_out_conv import conv3x3_planar_out
 from adaptsegnet_tpu.ops.resize import resize_bilinear_half_pixel
 
 Dtype = Any
 
 _XAVIER = xavier_normal_init(0.02)
+
+
+class _ParamOnlyConv(nn.Module):
+    """Params of a 3x3 Conv2d (path <name>/conv/{kernel,bias}) without the
+    NHWC conv computation — the planar flow-head lowering consumes them."""
+
+    cin: int
+    cout: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        class _K(nn.Module):
+            cin: int
+            cout: int
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", _XAVIER,
+                               (3, 3, self.cin, self.cout))
+                b = self.param("bias", nn.initializers.zeros_init(),
+                               (self.cout,))
+                return k, b
+
+        return _K(self.cin, self.cout, name="conv")()
 
 
 def _bn_scale_init(key, shape, dtype=jnp.float32):
@@ -145,6 +171,7 @@ class WarperDecoder(nn.Module):
     norm: str = "Batch"
     transpose: bool = False
     use_dropout: bool = False
+    planar_flow: bool = False  # emit flow as (N, 2, H, W) channel planes
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,22 +231,44 @@ class WarperDecoder(nn.Module):
                 out = nn.Dropout(rate=0.5, deterministic=not train,
                                  name=f"up{i}_dropout")(out)
             warp_list.append(out)
-        out = up_stage(out, self.out_channel, "output", use_bn=False,
-                       use_bias=True)
+        if self.planar_flow and not self.transpose and self.norm != "Spectral":
+            # Flow-head fast path: same math/params as the generic stage
+            # (relu -> bilinear x2 -> 3x3 conv + bias), but the conv emits
+            # (N, 2, H, W) channel planes (ops/planar_out_conv.py) — the
+            # NHWC 2-channel conv output layout costs its consumers ~10 ms
+            # of strided relayout per step at (512, 1024).
+            out = nn.relu(out)
+            n, h, w, c = out.shape
+            out = resize_bilinear_half_pixel(
+                out, (h * 2, w * 2), exact=self.dtype == jnp.float32
+            )
+            k, b = _ParamOnlyConv(
+                c, self.out_channel, self.dtype, name="output_conv"
+            )()
+            out = conv3x3_planar_out(out, k, b)
+        else:
+            out = up_stage(out, self.out_channel, "output", use_bn=False,
+                           use_bias=True)
+            if self.planar_flow:
+                out = jnp.transpose(out, (0, 3, 1, 2))
         return out, warp_list
 
 
 class Warper(nn.Module):
-    """forward(pose) -> (flow, warp_list); flow is NHW2 at input resolution.
+    """forward(pose) -> (flow, warp_list); flow at input resolution.
 
-    flow[..., 0] displaces x (width), flow[..., 1] y (height), consumed by
+    flow's x-channel displaces width, y-channel height, consumed by
     ops.sampling.warp_with_flow (tanh + identity grid + clamp + grid_sample).
+    Layout: NHW2 by default; `planar_flow=True` emits (N, 2, H, W) channel
+    planes instead (same values/params — the TPU-friendly layout for the
+    fused warp kernel; see ops/planar_out_conv.py).
     """
 
     num_layers: int = 8
     norm: str = "Batch"  # Batch | Instance | Spectral (reference warper.py:217)
     transpose: bool = False  # ConvTranspose2d upsampling (warper.py:218)
     use_dropout: bool = False  # Dropout(0.5) after Up stages (warper.py:218)
+    planar_flow: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -231,6 +280,6 @@ class Warper(nn.Module):
         flow, warp_list = WarperDecoder(
             num_layers=self.num_layers - 1, norm=self.norm,
             transpose=self.transpose, use_dropout=self.use_dropout,
-            dtype=self.dtype, name="decoder_d",
+            planar_flow=self.planar_flow, dtype=self.dtype, name="decoder_d",
         )(latent, skips, train)
         return flow, warp_list

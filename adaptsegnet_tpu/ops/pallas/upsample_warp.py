@@ -11,7 +11,7 @@ the default (warper-on) training mode.
 TPU-native formulation — no gather, no scatter, exact:
 the composition warp(upsample(x)) has SEPARABLE per-output-pixel weights
 over the LOW-RES grid. For output pixel p with hi-res sample position
-(iy, ix) (from the flow), hi-res taps ry_k = floor(iy)+k, and the
+(iy, ix) (from the flow), hi-res taps r_k = floor(i)+k, and the
 align-corners scale s = (h-1)/(H-1):
 
     out[p, c] = sum_ly sum_lx VY[p, ly] * VX[p, lx] * x[ly, lx, c]
@@ -19,25 +19,33 @@ align-corners scale s = (h-1)/(H-1):
     hat(d)    = max(0, 1 - |d|)         (the bilinear tent weight)
 
 because the upsample weight of hi-res row r w.r.t. lo-res row ly is exactly
-hat(r*s - ly), and the y/x tap structure is an outer product. VY has <= 3
-non-zeros but is kept DENSE over the lo-res axis (h ~ 64..90), so:
+hat(r*s - ly), and the y/x tap structure is an outer product. VY/VX have
+<= 3 non-zeros but are kept DENSE over the lo-res axes (h ~ 64, w ~ 128),
+trading ~2000x more FLOPs for zero gather/scatter — the MXU wins >40x.
 
-  * forward:    R = VY @ x  (MXU, K=h), then a masked lane-group reduction
-                out = (R * VXexp) @ S  (MXU, K=Wl*C);
-  * d x:        dx += VY^T @ (VXexp * Gexp)  (MXU, K=block)  — the EXACT
-                transpose, no scatter;
-  * d flow:     same contractions with hat-derivative weight vectors
-                (a separate pallas_call so XLA drops it when the flow is a
-                constant in the step, as in train/steps.py where the Warper
-                is never optimized).
+Kernel shape (per block of `bp` output pixels; x pre-flattened to
+x2[lx, ly*C + c], i.e. lanes run over (low-res ROW, channel) — the y axis
+is the SHORTER spatial axis at these aspect ratios, so lanes = h*C is
+~half of w*C and both the lane-weight expansion and the group reduction
+shrink accordingly):
 
-Everything is f32-accumulated; ~0.16 TFLOP at (512x1024, 64x128x19) vs the
-natural ~0.08 GFLOP of a 4-tap gather — the MXU trades 2000x more FLOPs for
-no gather/scatter and wins by >40x wall-clock.
+  t    = VX @ x2                 MXU, K = w      (bp, h*C)
+  VYe  = VY @ E2                 MXU, K = h      per-lane y-weight; E2 is
+                                 the 0/1 expansion kron(I_h, ones(1,C)) —
+                                 evaluating the hats per-lane on the VPU
+                                 costs more than this matmul, and an
+                                 in-kernel broadcast+collapse reshape is an
+                                 unsupported tpu.reshape when C is not
+                                 lane-aligned
+  out  = (t * VYe) @ S2          MXU, K = h*C    group-reduce over ly;
+                                 S2 = kron(ones(h,1), I_C)
+  d x2 = VX^T @ (VYe * (g @ S2^T))   the EXACT transpose — no scatter
+  d flow: same contractions with hat-derivative weight rows, in a separate
+          pallas_call so XLA drops it when the flow is a constant in the
+          step (train/steps.py never optimizes the Warper).
 
-Layout notes: x is flattened channel-major, lane = c*Wl + lx, so the lane
-axis is dense (19*128 = 2432) instead of a 19-wide padded trailing axis; the
-lane-group reduction is a matmul against S = kron(I_C, ones(Wl, 1)).
+Everything is f32-accumulated; inputs fed to the MXU in x.dtype (bf16
+models keep bf16 operands).
 """
 
 from __future__ import annotations
@@ -51,148 +59,153 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 1024  # output pixels per grid step (fwd / d-x kernels)
-_BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, c*wl) f32 live -> smaller
+_BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
 
 
-def _hats(pos0, wy1, iota, scale):
-    """VY/VX row: (1-w)*hat(pos0*s - l) + w*hat((pos0+1)*s - l)."""
+def _hats(pos0, w1, iota, scale):
+    """Weight row: (1-w)*hat(pos0*s - l) + w*hat((pos0+1)*s - l)."""
     h0 = jnp.maximum(0.0, 1.0 - jnp.abs(pos0 * scale - iota))
     h1 = jnp.maximum(0.0, 1.0 - jnp.abs((pos0 + 1.0) * scale - iota))
-    return h0 * (1.0 - wy1) + h1 * wy1
+    return h0 * (1.0 - w1) + h1 * w1
 
 
 def _dhats(pos0, iota, scale):
-    """d(VY)/d(iy) = hat at tap 1 minus hat at tap 0 (floor const a.e.)."""
+    """d(weight)/d(i) = hat at tap 1 minus hat at tap 0 (floor const a.e.)."""
     h0 = jnp.maximum(0.0, 1.0 - jnp.abs(pos0 * scale - iota))
     h1 = jnp.maximum(0.0, 1.0 - jnp.abs((pos0 + 1.0) * scale - iota))
     return h1 - h0
 
 
-def _y_weights(iy_ref, hl, sy, bp):
-    iy = iy_ref[0, :, :]  # (bp, 1) f32
-    ry0 = jnp.floor(iy)
-    # Mosaic iota must be integer-typed; cast to f32 for the hat weights.
-    ly = jax.lax.broadcasted_iota(jnp.int32, (bp, hl), 1).astype(jnp.float32)
-    vy = _hats(ry0, iy - ry0, ly, sy)
-    return vy, ry0, ly
+def _axis_weights(i_ref, nl, scale, bp):
+    """Dense (bp, nl) tent weights + floor taps for one axis.
 
-
-def _lane_lx(lx_ref, bp):
-    """Per-lane x position (lane % wl), precomputed host-side.
-
-    An in-kernel 3D broadcast+collapse reshape ("tile a (bp, wl) row C
-    times") is an unsupported tpu.reshape in Mosaic when wl is not
-    lane-aligned, so the channel-major x-weights are evaluated directly at
-    each lane's group position, read from a (1, c*wl) row operand.
+    Coordinates arrive as a (1, bp) lane row — (P, 1)-shaped coordinate
+    arrays force XLA into catastrophic minor-dim-1 relayouts (measured
+    ~7.5 ms/call of pure data movement at 512x1024) — and are transposed
+    to a (bp, 1) column here, inside VMEM, where it costs ~nothing.
     """
-    return jnp.broadcast_to(lx_ref[:], (bp, lx_ref.shape[1]))
+    i = jnp.transpose(i_ref[:], (1, 0))  # (1, bp) -> (bp, 1) f32
+    r0 = jnp.floor(i)
+    # Mosaic iota must be integer-typed; cast to f32 for the hat weights.
+    l = jax.lax.broadcasted_iota(jnp.int32, (bp, nl), 1).astype(jnp.float32)
+    v = _hats(r0, i - r0, l, scale)
+    return v, r0, l
 
 
-def _fwd_kernel(iy_ref, ix_ref, lx_ref, x_ref, s_ref, o_ref,
+def _expand_y(vy, e2_ref, cdtype):
+    """(bp, h) -> (bp, h*C) per-lane y-weights via the 0/1 E2 matmul."""
+    return jnp.dot(vy.astype(cdtype), e2_ref[:],
+                   preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
                 *, sy, sx, cdtype):
-    hl = x_ref.shape[1]
+    wl = x_ref.shape[1]
     bp, c = o_ref.shape[1:]
-    vy, _, _ = _y_weights(iy_ref, hl, sy, bp)
-    ix = ix_ref[0, :, :]
-    cx0 = jnp.floor(ix)
-    vxe = _hats(cx0, ix - cx0, _lane_lx(lx_ref, bp), sx)  # (bp, c*wl)
-    r = jnp.dot(vy.astype(cdtype), x_ref[0],
-                preferred_element_type=jnp.float32)  # (bp, c*wl)
+    hl = e2_ref.shape[0]
+    vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
+    vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
+    t = jnp.dot(vx.astype(cdtype), x_ref[0],
+                preferred_element_type=jnp.float32)  # (bp, h*C)
+    vye = _expand_y(vy, e2_ref, cdtype)
     o_ref[0] = jnp.dot(
-        (r * vxe).astype(cdtype), s_ref[:], preferred_element_type=jnp.float32
+        (t * vye).astype(cdtype), s2_ref[:],
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _bwd_x_kernel(iy_ref, ix_ref, lx_ref, g_ref, s_ref, dx_ref,
+def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
                   *, sy, sx, cdtype):
-    t = pl.program_id(1)
-    hl = dx_ref.shape[1]
+    tnum = pl.program_id(1)
+    wl = dx_ref.shape[1]
     bp, c = g_ref.shape[1:]
-    vy, _, _ = _y_weights(iy_ref, hl, sy, bp)
-    ix = ix_ref[0, :, :]
-    cx0 = jnp.floor(ix)
-    vxe = _hats(cx0, ix - cx0, _lane_lx(lx_ref, bp), sx)
-    # (bp, c) -> (bp, c*wl) group expansion via g @ S^T (MXU, reshape-free)
+    hl = e2_ref.shape[0]
+    vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
+    vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
+    vye = _expand_y(vy, e2_ref, cdtype)
+    # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU, reshape-free)
     gexp = jax.lax.dot_general(
-        g_ref[0].astype(cdtype), s_ref[:],
+        g_ref[0].astype(cdtype), s2_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    tmat = vxe * gexp
+    tmat = vye * gexp
 
-    @pl.when(t == 0)
+    @pl.when(tnum == 0)
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    # contract the block axis: (hl, bp) @ (bp, c*wl)
+    # contract the block axis: (w, bp) @ (bp, h*C)
     dx_ref[0] += jax.lax.dot_general(
-        vy.astype(cdtype), tmat.astype(cdtype),
+        vx.astype(cdtype), tmat.astype(cdtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dx_ref.dtype)
 
 
-def _bwd_flow_kernel(iy_ref, ix_ref, lx_ref, x_ref, s_ref, g_ref,
+def _bwd_flow_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, g_ref,
                      diy_ref, dix_ref, *, sy, sx, cdtype):
-    hl = x_ref.shape[1]
+    wl = x_ref.shape[1]
     bp, c = g_ref.shape[1:]
-    vy, ry0, ly = _y_weights(iy_ref, hl, sy, bp)
-    ix = ix_ref[0, :, :]
-    cx0 = jnp.floor(ix)
-    lx = _lane_lx(lx_ref, bp)
-    vxe = _hats(cx0, ix - cx0, lx, sx)
+    hl = e2_ref.shape[0]
+    vy, ry0, ly = _axis_weights(iy_ref, hl, sy, bp)
+    vx, cx0, lx = _axis_weights(ix_ref, wl, sx, bp)
     g = g_ref[0].astype(jnp.float32)
     x = x_ref[0]
+    t = jnp.dot(vx.astype(cdtype), x, preferred_element_type=jnp.float32)
 
     # d/d iy: dVY/diy = hat1 - hat0 (the lerp-weight derivative; the hats
-    # are const a.e.). The lane sum is taken per-channel first via S and
-    # dotted with g row-wise — never materializing a (bp, c*wl) g
-    # expansion (which is what blew the 16M VMEM stack at block>=512).
-    dvy = _dhats(ry0, ly, sy)
-    rp = jnp.dot(dvy.astype(cdtype), x, preferred_element_type=jnp.float32)
-    t1 = jnp.dot((rp * vxe).astype(cdtype), s_ref[:],
-                 preferred_element_type=jnp.float32)  # (bp, c)
-    diy_ref[0] = jnp.sum(t1 * g, axis=1, keepdims=True).astype(diy_ref.dtype)
+    # are const a.e.). The lane sum is taken per-channel first via S2 and
+    # dotted with g row-wise — never materializing a (bp, h*C) g expansion
+    # (which is what blew the 16M VMEM stack at larger blocks).
+    dvye = _expand_y(_dhats(ry0, ly, sy), e2_ref, cdtype)
+    t1 = jnp.dot((t * dvye).astype(cdtype), s2_ref[:],
+                 preferred_element_type=jnp.float32)  # (bp, C)
+    diy_ref[:] = jnp.transpose(
+        jnp.sum(t1 * g, axis=1, keepdims=True), (1, 0)
+    ).astype(diy_ref.dtype)
 
-    dvxe = _dhats(cx0, lx, sx)
-    r = jnp.dot(vy.astype(cdtype), x, preferred_element_type=jnp.float32)
-    t2 = jnp.dot((r * dvxe).astype(cdtype), s_ref[:],
+    dvx = _dhats(cx0, lx, sx)
+    rp = jnp.dot(dvx.astype(cdtype), x, preferred_element_type=jnp.float32)
+    vye = _expand_y(vy, e2_ref, cdtype)
+    t2 = jnp.dot((rp * vye).astype(cdtype), s2_ref[:],
                  preferred_element_type=jnp.float32)
-    dix_ref[0] = jnp.sum(t2 * g, axis=1, keepdims=True).astype(dix_ref.dtype)
+    dix_ref[:] = jnp.transpose(
+        jnp.sum(t2 * g, axis=1, keepdims=True), (1, 0)
+    ).astype(dix_ref.dtype)
 
 
 def _prep(x, iy, ix):
-    """Flatten x channel-major, coords to (N, P, 1); static geometry."""
+    """Flatten x to x2[n, lx, ly*C+c], coords to lane-packed (N, P)."""
     n, hl, wl, c = x.shape
     _, hh, wh = iy.shape
-    xf = jnp.transpose(x, (0, 3, 1, 2))  # (n, c, hl, wl)
-    xf = jnp.transpose(xf, (0, 2, 1, 3)).reshape(n, hl, c * wl)
+    xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(n, wl, hl * c)
     p = hh * wh
     sy = (hl - 1) / (hh - 1) if hh > 1 else 0.0
     sx = (wl - 1) / (wh - 1) if wh > 1 else 0.0
-    iyf = iy.reshape(n, p, 1).astype(jnp.float32)
-    ixf = ix.reshape(n, p, 1).astype(jnp.float32)
+    iyf = iy.reshape(n, p).astype(jnp.float32)
+    ixf = ix.reshape(n, p).astype(jnp.float32)
     return xf, iyf, ixf, (n, hl, wl, c, hh, wh, p, sy, sx)
 
 
 def _pad_coords(iyf, ixf, p, bp):
     pad = (-p) % bp
     if pad:
-        iyf = jnp.pad(iyf, ((0, 0), (0, pad), (0, 0)))
-        ixf = jnp.pad(ixf, ((0, 0), (0, pad), (0, 0)))
+        iyf = jnp.pad(iyf, ((0, 0), (0, pad)))
+        ixf = jnp.pad(ixf, ((0, 0), (0, pad)))
     return iyf, ixf, pad
 
 
-def _smatrix(c, wl, dtype):
-    s = np.kron(np.eye(c, dtype=np.float32), np.ones((wl, 1), np.float32))
-    return jnp.asarray(s, dtype)  # (c*wl, c)
+def _e2matrix(hl, c, dtype):
+    """(h, h*C) per-lane y-weight expansion: E2[ly, ly'*C+c] = [ly==ly']."""
+    e = np.kron(np.eye(hl, dtype=np.float32), np.ones((1, c), np.float32))
+    return jnp.asarray(e, dtype)
 
 
-def _lxrow(c, wl):
-    """(1, c*wl) per-lane x position for the channel-major layout."""
-    return jnp.asarray(
-        np.tile(np.arange(wl, dtype=np.float32), c)[None, :]
-    )
+def _s2matrix(hl, c, dtype):
+    """(h*C, C) lane-group reduction over ly: S2 = kron(ones(h,1), I_C)."""
+    s = np.kron(np.ones((hl, 1), np.float32), np.eye(c, dtype=np.float32))
+    return jnp.asarray(s, dtype)
 
 
 def _cdtype(dtype):
@@ -221,27 +234,28 @@ def _sample_fwd(x, iy, ix, interpret):
         functools.partial(_fwd_kernel, sy=sy, sx=sx, cdtype=cdtype),
         grid=(n, nb),
         in_specs=[
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c * wl), lambda i, t: (0, 0),
+            pl.BlockSpec((1, wl, hl * c), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hl, c * wl), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((hl, hl * c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * wl, c), lambda i, t: (0, 0),
+            pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, p + pad, c), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * (p + pad) * (hl + c) * c * wl,
+            flops=2 * n * (p + pad) * (wl + hl + c) * hl * c,
             bytes_accessed=4 * n * (p + pad) * (2 + c),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(iyp, ixp, _lxrow(c, wl), xf.astype(cdtype), _smatrix(c, wl, cdtype))
+    )(iyp, ixp, xf.astype(cdtype), _e2matrix(hl, c, cdtype),
+      _s2matrix(hl, c, cdtype))
     out = out[:, :p, :].reshape(n, hh, wh, c)
     return out, (x, iy, ix)
 
@@ -263,34 +277,34 @@ def _sample_bwd(interpret, res, g):
         functools.partial(_bwd_flow_kernel, sy=sy, sx=sx, cdtype=cdtype),
         grid=(n, nb),
         in_specs=[
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c * wl), lambda i, t: (0, 0),
+            pl.BlockSpec((1, wl, hl * c), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hl, c * wl), lambda i, t: (i, 0, 0),
+            pl.BlockSpec((hl, hl * c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * wl, c), lambda i, t: (0, 0),
+            pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, p + pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, p + pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, p + pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, p + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(iyp, ixp, _lxrow(c, wl), xf.astype(cdtype),
-      _smatrix(c, wl, cdtype), gp)
-    diy = diy[:, :p, 0].reshape(n, hh, wh)
-    dix = dix[:, :p, 0].reshape(n, hh, wh)
+    )(iyp, ixp, xf.astype(cdtype), _e2matrix(hl, c, cdtype),
+      _s2matrix(hl, c, cdtype), gp)
+    diy = diy[:, :p].reshape(n, hh, wh)
+    dix = dix[:, :p].reshape(n, hh, wh)
     return dx, diy, dix
 
 
@@ -305,43 +319,58 @@ def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret):
         functools.partial(_bwd_x_kernel, sy=sy, sx=sx, cdtype=cdtype),
         grid=(n, nb),
         in_specs=[
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, 1), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c * wl), lambda i, t: (0, 0),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * wl, c), lambda i, t: (0, 0),
+            pl.BlockSpec((hl, hl * c), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hl, c * wl), lambda i, t: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, wl, hl * c), lambda i, t: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hl, c * wl), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, wl, hl * c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * (p + pad) * hl * c * wl,
+            flops=2 * n * (p + pad) * (wl + hl + c) * hl * c,
             bytes_accessed=4 * n * (p + pad) * (2 + c),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(iyp, ixp, _lxrow(c, wl), gp, _smatrix(c, wl, cdtype))
-    return dxf.reshape(n, hl, c, wl).transpose(0, 1, 3, 2)
+    )(iyp, ixp, gp, _e2matrix(hl, c, cdtype), _s2matrix(hl, c, cdtype))
+    # (n, wl, hl*c) -> (n, hl, wl, c)
+    return dxf.reshape(n, wl, hl, c).transpose(0, 2, 1, 3)
 
 
 _sample_upsampled.defvjp(_sample_fwd, _sample_bwd)
 
 
-def _coords_from_flow(flow, out_hw):
+def _coords_from_flow(flow, out_hw, planar=False):
     """warp_with_flow's sampler: clamp(tanh(flow) + identity, -1, 1) in
-    hi-res pixel units (reference model/deeplab_multi.py:238-255)."""
+    hi-res pixel units (reference model/deeplab_multi.py:238-255).
+
+    Layout note: NHW2 flow (planar=False) is fine for standalone arrays,
+    but when it is a 2-channel conv OUTPUT its TPU layout is channel-minor
+    ({3,0,2,1:T(2,128)}) and every consumer — transpose, slice, or fused
+    elementwise — pays ~10 ms/step of strided relayout at (512, 1024).
+    That cost cannot be repaired downstream (an optimization_barrier'd
+    planar transpose just moves the same 10 ms into the copy); the
+    producer has to emit planes. `planar=True` takes flow as (N, 2, H, W)
+    — the Warper's `planar_flow=True` head emits it directly — and
+    everything here runs on lane-packed (N, H, W) planes.
+    Differentiation stays in XLA: the custom-VJP boundary is at the
+    (x, iy, ix) sampler, so clip/tanh gradients match the unfused
+    composition exactly.
+    """
     hh, wh = out_hw
     gy = jnp.linspace(-1.0, 1.0, hh, dtype=jnp.float32)
     gx = jnp.linspace(-1.0, 1.0, wh, dtype=jnp.float32)
-    gxx, gyy = jnp.meshgrid(gx, gy)
     f = jnp.tanh(flow.astype(jnp.float32))
-    sgx = jnp.clip(f[..., 0] + gxx[None], -1.0, 1.0)
-    sgy = jnp.clip(f[..., 1] + gyy[None], -1.0, 1.0)
+    fx, fy = (f[:, 0], f[:, 1]) if planar else (f[..., 0], f[..., 1])
+    sgx = jnp.clip(fx + gx[None, None, :], -1.0, 1.0)
+    sgy = jnp.clip(fy + gy[None, :, None], -1.0, 1.0)
     ix = (sgx + 1.0) * 0.5 * (wh - 1)
     iy = (sgy + 1.0) * 0.5 * (hh - 1)
     return iy, ix
@@ -352,10 +381,13 @@ def upsample_warp(
     flow: jnp.ndarray,
     out_hw: tuple[int, int] | None = None,
     interpret: bool | None = None,
+    planar: bool = False,
 ) -> jnp.ndarray:
     """warp_with_flow(upsample_logits(x, out_hw), flow), fused and exact.
 
-    x: (N, h, w, C) low-res logits; flow: (N, H, W, 2) raw flow field
+    x: (N, h, w, C) low-res logits; flow: (N, H, W, 2) raw flow field —
+    or (N, 2, H, W) channel planes with planar=True (the layout the
+    Warper's planar_flow head emits; see _coords_from_flow) —
     (tanh + identity-grid + clamp applied here, matching
     ops.sampling.warp_with_flow / reference model/deeplab_multi.py:238-255).
     Returns (N, H, W, C) in x.dtype. out_hw defaults to flow's (H, W).
@@ -366,13 +398,18 @@ def upsample_warp(
     different summation order (float-tolerance equivalent).
     """
     if out_hw is None:
-        out_hw = flow.shape[1], flow.shape[2]
+        out_hw = (
+            (flow.shape[2], flow.shape[3]) if planar
+            else (flow.shape[1], flow.shape[2])
+        )
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
         from adaptsegnet_tpu.ops.resize import upsample_logits
         from adaptsegnet_tpu.ops.sampling import warp_with_flow
 
+        if planar:
+            flow = jnp.transpose(flow, (0, 2, 3, 1))
         exact = x.dtype == jnp.float32
         return warp_with_flow(upsample_logits(x, out_hw, exact=exact), flow)
-    iy, ix = _coords_from_flow(flow, out_hw)
+    iy, ix = _coords_from_flow(flow, out_hw, planar=planar)
     return _sample_upsampled(x, iy, ix, bool(interpret))

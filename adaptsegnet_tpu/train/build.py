@@ -149,7 +149,11 @@ def build_train_state(
 
     use_warper = cfg.warper and (cfg.source_only or cfg.level == "single-level")
     if use_warper:
-        warper = Warper(norm=cfg.warper_norm, dtype=dtype)
+        # planar_flow: the flow head emits (N, 2, H, W) channel planes —
+        # a 2-channel NHWC conv output costs its consumers ~10 ms/step of
+        # strided relayout on TPU (ops/planar_out_conv.py). Same params
+        # and values; the fused warp kernel consumes planes natively.
+        warper = Warper(norm=cfg.warper_norm, dtype=dtype, planar_flow=True)
         modules["warper"] = warper
         wx = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
         wvars = warper.init(kw, wx)

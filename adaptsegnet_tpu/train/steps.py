@@ -61,7 +61,8 @@ def _forward_warper(warper_module, wstate, images):
     return flow, {k: mut[k] for k in mutable}
 
 
-def _seg_forward(model, params, batch_stats, images, input_hw, flow=None):
+def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
+                 planar=False):
     """Segmenter forward -> (pred1_up, pred2_up) at input resolution.
 
     bf16 models get the fast in-dtype resize (the exact f32 interpolation
@@ -82,7 +83,7 @@ def _seg_forward(model, params, batch_stats, images, input_hw, flow=None):
     pred1_up = upsample_logits(pred1, input_hw, exact=exact)
     if flow is None:
         return pred1_up, upsample_logits(pred2, input_hw, exact=exact)
-    return pred1_up, upsample_warp(pred2, flow, input_hw)
+    return pred1_up, upsample_warp(pred2, flow, input_hw, planar=planar)
 
 
 def make_source_only_step(
@@ -97,6 +98,7 @@ def make_source_only_step(
     batch: dict(images=(iter_size, B, H, W, 3), labels=(iter_size, B, H, W)).
     Returns (new_state, metrics{loss_seg2}).
     """
+    planar = bool(getattr(warper_module, "planar_flow", False))
 
     def step(state: TrainState, batch):
         gstate = state.generator
@@ -113,7 +115,7 @@ def make_source_only_step(
             def loss_fn(params):
                 _, pred2 = _seg_forward(
                     model, params, gstate.batch_stats, mb["images"], input_hw,
-                    flow=flow,
+                    flow=flow, planar=planar,
                 )
                 return cross_entropy_2d(pred2, mb["labels"])
 
@@ -173,6 +175,7 @@ def make_adversarial_step(
     """
     criterion = gan_loss(gan)
     multi = level == "multi-level"
+    planar = bool(getattr(warper_module, "planar_flow", False))
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
 
@@ -197,11 +200,11 @@ def make_adversarial_step(
             def g_loss_fn(params):
                 p1_s, p2_s = _seg_forward(
                     model, params, gstate.batch_stats, mb["images"], input_hw,
-                    flow=flow,
+                    flow=flow, planar=planar,
                 )
                 p1_t, p2_t = _seg_forward(
                     model, params, gstate.batch_stats, mb["target_images"],
-                    input_hw, flow=flow,
+                    input_hw, flow=flow, planar=planar,
                 )
 
                 loss_seg2 = cross_entropy_2d(p2_s, mb["labels"])

@@ -113,6 +113,40 @@ def bench_train(dtype: str, iters: int, batch: int) -> float:
     return _measure(run_once, lambda m: m["loss_seg2"], iters)
 
 
+def bench_source_only(dtype: str, iters: int, batch: int,
+                      warper: bool) -> float:
+    """Reference default mode (SOURCE_ONLY=True, --warper default True):
+    CE pretraining step; warper-on exercises the fused Pallas
+    upsample+warp kernel."""
+    import jax.numpy as jnp
+
+    from adaptsegnet_tpu.train.build import build_train_state
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.steps import make_source_only_step
+
+    hw = (512, 1024)
+    cfg = TrainConfig(source_only=True, warper=warper, compute_dtype=dtype)
+    state, modules = build_train_state(cfg, example_hw=hw)
+    step_fn = make_source_only_step(
+        modules["model"],
+        warper_module=modules.get("warper") if warper else None,
+        input_hw=hw, iter_size=1, donate=False,
+    )
+    rng = np.random.default_rng(0)
+    b = {
+        "images": jnp.asarray(rng.standard_normal((1, batch, *hw, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 19, size=(1, batch, *hw)),
+                              jnp.int32),
+    }
+
+    def run_once():
+        _, metrics = step_fn(state, b)
+        return metrics
+
+    return _measure(run_once, lambda m: m["loss_seg2"], iters)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true",
@@ -154,6 +188,9 @@ def main():
     ips_b8 = bench_eval("bfloat16", args.iters, 8)
     ips_f32 = bench_eval("float32", max(args.iters // 3, 5), 1)
     step_ms = bench_train("bfloat16", max(args.iters // 3, 5), 1) * 1000.0
+    so_warp_ms = bench_source_only(
+        "bfloat16", max(args.iters // 3, 5), 1, warper=True
+    ) * 1000.0
     best_ips, best_batch = max((ips_b1, 1), (ips_b8, 8))
     print(json.dumps({
         "metric": "DeeplabMulti eval images/sec/chip @512x1024->1024x2048 argmax",
@@ -165,6 +202,7 @@ def main():
             "eval_bf16_bs8_img_per_s": round(ips_b8, 2),
             "eval_f32_parity_bs1_img_per_s": round(ips_f32, 2),
             "train_multilevel_bf16_bs1_ms": round(step_ms, 2),
+            "train_sourceonly_warper_bf16_bs1_ms": round(so_warp_ms, 2),
             "best_batch": best_batch,
         },
     }))

@@ -157,6 +157,28 @@ def test_warper_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(flow), ref, rtol=1e-3, atol=1e-4)
 
 
+def test_warper_planar_flow_matches_default(rng):
+    """planar_flow=True emits the same flow as the default head, just as
+    (N, 2, H, W) channel planes, from the SAME parameter tree."""
+    x = rng.standard_normal((1, 512, 512, 3), dtype=np.float32)
+    ref_model = Warper()
+    variables = jax.jit(ref_model.init)(jax.random.PRNGKey(5),
+                                        jnp.zeros_like(x))
+    ref_flow, _ = jax.jit(
+        lambda v, y: ref_model.apply(v, y, train=False)
+    )(variables, jnp.asarray(x))
+
+    pl_model = Warper(planar_flow=True)
+    pl_flow, _ = jax.jit(
+        lambda v, y: pl_model.apply(v, y, train=False)
+    )(variables, jnp.asarray(x))  # same variables: identical param tree
+    assert pl_flow.shape == (1, 2, 512, 512)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(pl_flow, (0, 2, 3, 1))),
+        np.asarray(ref_flow), rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_warper_batch_stats_update(rng):
     model = Warper()
     x = jnp.asarray(rng.standard_normal((1, 512, 512, 3), dtype=np.float32))

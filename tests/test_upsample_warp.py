@@ -92,6 +92,22 @@ def test_matches_inrepo_xla_composition(rng):
     np.testing.assert_allclose(np.asarray(disp), np.asarray(ref), atol=1e-6)
 
 
+def test_planar_flow_layout_equivalent(rng):
+    """planar=True consumes (N, 2, H, W) flow planes — same result as the
+    NHW2 layout, on both the kernel and the fallback dispatch paths."""
+    n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
+    x = jnp.asarray(_rand(rng, (n, hl, wl, c)))
+    flow = jnp.asarray(_rand(rng, (n, hh, wh, 2), 0.5))
+    fpl = jnp.transpose(flow, (0, 3, 1, 2))
+    ref = upsample_warp(x, flow, interpret=True)
+    got = upsample_warp(x, fpl, interpret=True, planar=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    # fallback dispatch (non-TPU backend, interpret=None)
+    ref2 = upsample_warp(x, flow)
+    got2 = upsample_warp(x, fpl, planar=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-6)
+
+
 def test_bf16_smoke(rng):
     n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
     x = jnp.asarray(_rand(rng, (n, hl, wl, c)), jnp.bfloat16)
