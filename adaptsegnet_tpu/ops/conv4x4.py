@@ -66,6 +66,13 @@ def conv4x4_stride2(
     on the multi-level step) because the overlapping-slice accumulation
     serializes; XLA's transpose of the slice/pad chain schedules better.
     """
+    # NOTE (measured, don't repeat): lowering small-C inputs (the 19-channel
+    # discriminator stem) as sixteen stride-2 slice taps instead of the
+    # space-to-depth reshape LOOKS like it should avoid ~7.6 ms/step of data
+    # formatting, but strided slices on a channel-minor tensor are far worse
+    # (24 ms fwd slice + 11 ms bwd interior-pad; multi-level step 64 -> 100
+    # ms). XLA's transpose engine handles the s2d reshuffle better than its
+    # strided-slice emitter.
     return _fwd_impl(x, kernel, bias)
 
 
