@@ -33,6 +33,12 @@ def _prec(x_dtype, f32_exact: bool):
 
 
 def _fwd_conv(x, k, dilation, f32_exact):
+    # NOTE (measured, don't repeat): replacing the dilated conv with nine
+    # pad-slice shifted dot_generals wins STANDALONE (2.4-2.9 -> ~1.5 ms
+    # at the layer3/4 shapes) but loses IN-STEP (multi-level step 64 ->
+    # 73 ms): inside the fused program XLA overlaps/fuses its native conv
+    # with the BN-folded epilogues and neighboring ops, which the
+    # slice+dot chain blocks. Only in-step numbers decide here.
     d = dilation
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1),

@@ -64,6 +64,28 @@ def test_conv7x7_s2_forward_and_wgrad_match_torch(rng):
         rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dilation", [2, 4])
+def test_bf16_shifted_path_matches_f32(rng, dilation):
+    """bf16 dilated convs take the shifted-matmul lowering; values and
+    gradients agree with the f32 XLA-conv path within bf16 tolerance."""
+    d = dilation
+    x = rng.standard_normal((1, 12, 16, 8), dtype=np.float32)
+    w = rng.standard_normal((3, 3, 8, 8), dtype=np.float32) * 0.1
+    dy = rng.standard_normal((1, 12, 16, 8), dtype=np.float32)
+
+    y32, vjp32 = jax.vjp(lambda a, b: conv3x3_s1(a, b, d, True),
+                         jnp.asarray(x), jnp.asarray(w))
+    gx32, gw32 = vjp32(jnp.asarray(dy))
+    y16, vjp16 = jax.vjp(
+        lambda a, b: conv3x3_s1(a, b, d, False),
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16))
+    gx16, gw16 = vjp16(jnp.asarray(dy, jnp.bfloat16))
+    for a16, a32 in ((y16, y32), (gx16, gx32), (gw16, gw32)):
+        np.testing.assert_allclose(
+            np.asarray(a16, np.float32), np.asarray(a32),
+            rtol=0.06, atol=0.06)
+
+
 def test_custom_vjp_matches_autodiff_of_native_conv(rng):
     """The custom backward must be numerically interchangeable with plain
     autodiff of the same forward (same math, different lowering)."""
