@@ -141,8 +141,9 @@ class ClassifierModule(nn.Module):
 
         x = x.astype(self.dtype)
         if self.use_matmul:
+            # n_sum positional: custom_vjp nondiff args must be positional.
             return aspp_matmul(
-                x, kernels, biases, self.dilations, n_sum=n_branches
+                x, kernels, biases, self.dilations, n_branches
             )
         out = None
         for k, b, d in list(zip(kernels, biases, self.dilations))[:n_branches]:

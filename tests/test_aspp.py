@@ -34,10 +34,58 @@ def test_aspp_matmul_matches_torch(rng, n_sum):
 
     ours = np.asarray(aspp_matmul(
         jnp.asarray(x), [jnp.asarray(w) for w in kernels],
-        [jnp.asarray(b) for b in biases], dils, n_sum=n_sum,
+        [jnp.asarray(b) for b in biases], dils, n_sum,
     ))
     ref = _torch_aspp(x, kernels, biases, dils, n_sum)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_sum", [4, 2])
+def test_aspp_matmul_grads_match_torch(rng, n_sum):
+    """Custom-VJP grads (concat-cotangent matmul form) == torch conv
+    autograd; unused branches (n_sum quirk) get exactly zero."""
+    c, k = 16, 19
+    x = rng.standard_normal((1, 10, 12, c), dtype=np.float32)
+    kernels = [rng.standard_normal((3, 3, c, k)).astype(np.float32) * 0.1
+               for _ in range(4)]
+    biases = [rng.standard_normal((k,)).astype(np.float32) for _ in range(4)]
+    dils = (2, 4, 6, 8)
+    g = rng.standard_normal((1, 10, 12, k)).astype(np.float32)
+
+    def f(x_, ks_, bs_):
+        return aspp_matmul(x_, ks_, bs_, dils, n_sum)
+
+    out, vjp = jax.vjp(
+        f, jnp.asarray(x), [jnp.asarray(w) for w in kernels],
+        [jnp.asarray(b) for b in biases],
+    )
+    dx, dks, dbs = vjp(jnp.asarray(g))
+
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    tks = [torch.from_numpy(np.transpose(w, (3, 2, 0, 1))).requires_grad_(True)
+           for w in kernels]
+    tbs = [torch.from_numpy(b).requires_grad_(True) for b in biases]
+    tout = None
+    for tw, tb, d in list(zip(tks, tbs, dils))[:n_sum]:
+        y = F.conv2d(tx, tw, tb, padding=d, dilation=d)
+        tout = y if tout is None else tout + y
+    tout.backward(torch.from_numpy(np.transpose(g, (0, 3, 1, 2))))
+
+    np.testing.assert_allclose(
+        np.asarray(dx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=1e-4)
+    for i in range(4):
+        if i < n_sum:
+            np.testing.assert_allclose(
+                np.asarray(dks[i]),
+                tks[i].grad.permute(2, 3, 1, 0).numpy(),
+                rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(dbs[i]),
+                                       tbs[i].grad.numpy(),
+                                       rtol=1e-4, atol=1e-5)
+        else:
+            assert not np.any(np.asarray(dks[i]))
+            assert not np.any(np.asarray(dbs[i]))
 
 
 def test_classifier_module_lowerings_agree(rng):
