@@ -34,11 +34,13 @@ def _prec(x_dtype, f32_exact: bool):
 
 def _fwd_conv(x, k, dilation, f32_exact):
     # NOTE (measured, don't repeat): replacing the dilated conv with nine
-    # pad-slice shifted dot_generals wins STANDALONE (2.4-2.9 -> ~1.5 ms
-    # at the layer3/4 shapes) but loses IN-STEP (multi-level step 64 ->
-    # 73 ms): inside the fused program XLA overlaps/fuses its native conv
-    # with the BN-folded epilogues and neighboring ops, which the
-    # slice+dot chain blocks. Only in-step numbers decide here.
+    # pad-slice shifted dot_generals wins STANDALONE (2.4-2.9 -> ~1.5 ms at
+    # the layer3/4 shapes) but loses IN-STEP. Both variants were tried:
+    # fwd+dgrad shifted -> multi-level step 64 -> 73 ms; fwd-only shifted
+    # (d>=4, bf16) -> eval 6.11 -> 5.97 ms/img but train 62.8 -> 65.9 ms.
+    # Inside the fused program XLA overlaps/fuses its native conv with the
+    # BN-folded epilogues and neighboring ops, which the slice+dot chain
+    # blocks. Only in-step numbers decide here.
     d = dilation
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1),
@@ -102,6 +104,36 @@ conv3x3_s1.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 def _stem_fwd_conv(x, k, f32_exact):
+    if x.dtype == jnp.bfloat16 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # bf16 speed path: XLA's native 7x7/s2 conv on the 3-channel image
+        # wastes 125/128 MXU lanes — profiled at 0.8 ms/img in eval (~60x
+        # off roofline). Space-to-depth the input (2x2 -> 12 ch) and the
+        # stride-2 7x7 becomes a stride-1 VALID 4x4 conv over 12 channels:
+        #   out(y,x) = sum_{a,b<4, r,s<2} k'[2a+r, 2b+s] B(y+a, x+b)[r,s]
+        # with k' the kernel zero-padded to 8x8. Exact same sum per output
+        # (reassociated). The f32 parity path keeps the native conv.
+        # The full 2x2 space-to-depth reshuffle costs more than it saves
+        # (0.63 ms reshape + 0.28 ms transpose on the C-minor image); a
+        # row-parity split keeps every move cheap: strided slices on the
+        # MAJOR (row) axis are clean DMA and the (W, C) -> (W/2, 2C)
+        # flatten is contiguous. One C=6 VALID 4x4 conv per row parity.
+        n, h, w, c = x.shape
+        cout = k.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        hb, wb = (h + 6) // 2, (w + 6) // 2
+        kp = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8, 8, c, cout)
+        # kp[2a+r, 2b+s] -> per-parity 4x4 kernels over (s, c) channels
+        kr = kp.reshape(4, 2, 4, 2, c, cout).transpose(1, 0, 2, 3, 4, 5)
+        kr = kr.reshape(2, 4, 4, 2 * c, cout)
+        out = None
+        for r in (0, 1):
+            br = xp[:, r::2].reshape(n, hb, wb, 2 * c)
+            y = jax.lax.conv_general_dilated(
+                br, kr[r].astype(x.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+        return out
     return jax.lax.conv_general_dilated(
         x, k, (2, 2), ((3, 3), (3, 3)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

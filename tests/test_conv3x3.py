@@ -64,6 +64,18 @@ def test_conv7x7_s2_forward_and_wgrad_match_torch(rng):
         rtol=1e-4, atol=1e-5)
 
 
+def test_stem_bf16_s2d_path_matches_f32(rng):
+    """bf16 stem takes the space-to-depth 4x4 lowering; values match the
+    f32 native-conv path within bf16 tolerance."""
+    x = rng.standard_normal((1, 32, 48, 3), dtype=np.float32)
+    w = rng.standard_normal((7, 7, 3, 16), dtype=np.float32) * 0.1
+    y32 = conv7x7_s2(jnp.asarray(x), jnp.asarray(w), True)
+    y16 = conv7x7_s2(jnp.asarray(x, jnp.bfloat16),
+                     jnp.asarray(w, jnp.bfloat16), False)
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.05, atol=0.05)
+
+
 @pytest.mark.parametrize("dilation", [2, 4])
 def test_bf16_shifted_path_matches_f32(rng, dilation):
     """bf16 dilated convs take the shifted-matmul lowering; values and
