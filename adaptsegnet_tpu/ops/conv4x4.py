@@ -66,13 +66,18 @@ def conv4x4_stride2(
     on the multi-level step) because the overlapping-slice accumulation
     serializes; XLA's transpose of the slice/pad chain schedules better.
     """
-    # NOTE (measured, don't repeat): lowering small-C inputs (the 19-channel
-    # discriminator stem) as sixteen stride-2 slice taps instead of the
-    # space-to-depth reshape LOOKS like it should avoid ~7.6 ms/step of data
-    # formatting, but strided slices on a channel-minor tensor are far worse
-    # (24 ms fwd slice + 11 ms bwd interior-pad; multi-level step 64 -> 100
-    # ms). XLA's transpose engine handles the s2d reshuffle better than its
-    # strided-slice emitter.
+    # NOTE (measured, don't repeat): two alternative lowerings both lose
+    # in-step despite looking better on paper:
+    #  - sixteen stride-2 slice taps (skip the block build): strided slices
+    #    on channel-minor MINOR axes are far worse (24 ms fwd slice + 11 ms
+    #    bwd interior-pad; multi-level step 64 -> 100 ms);
+    #  - ROW-PARITY s2d (the trick that won for the conv7x7 stem: stride-2
+    #    slices on the MAJOR axis + contiguous (W,C)->(W/2,2C) flatten,
+    #    eight K=2C matmuls): multi-level step 62.8 -> 69.1 ms — the
+    #    autodiff transpose of the row-strided slices and the halved-K
+    #    matmuls lose more than the transpose-engine shuffle costs.
+    # XLA's transpose engine handles this s2d reshuffle better than any
+    # slice-based alternative tried.
     return _fwd_impl(x, kernel, bias)
 
 
