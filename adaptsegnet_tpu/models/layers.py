@@ -10,6 +10,7 @@ kaiming-uniform(+uniform bias) for the discriminator, and xavier-normal
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable
 
@@ -371,13 +372,7 @@ def conv_bn_folded(
     return y + b_folded
 
 
-def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
-    """torch MaxPool2d(kernel=3, stride=2, padding=1, ceil_mode=...).
-
-    ceil_mode=False: floor output size (ResNetMulti, model/deeplab_multi.py:135).
-    ceil_mode=True: ceil output size via extra -inf padding on the bottom/right
-    (single-head 'Oracle' ResNet, model/deeplab.py:130).
-    """
+def _pool_fwd_impl(x: jnp.ndarray, ceil_mode: bool) -> jnp.ndarray:
     n, h, w, c = x.shape
 
     def out_len(L):
@@ -388,9 +383,6 @@ def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
     # Padding needed so that the sliding window covers exactly oh/ow steps.
     ph_extra = max(0, (oh - 1) * 2 + 3 - (h + 2))
     pw_extra = max(0, (ow - 1) * 2 + 3 - (w + 2))
-    # -inf identity keeps reduce_window on the differentiable max-pool path
-    # (jax only recognizes the max monoid — and thus supplies the VJP — when
-    # the init value is exactly -inf).
     neg = -jnp.inf
     y = jnp.pad(
         x,
@@ -405,6 +397,81 @@ def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
         window_strides=(1, 2, 2, 1),
         padding="VALID",
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_pool_3x3_s2(x: jnp.ndarray, ceil_mode: bool = False) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1, ceil_mode=...).
+
+    ceil_mode=False: floor output size (ResNetMulti, model/deeplab_multi.py:135).
+    ceil_mode=True: ceil output size via extra -inf padding on the bottom/right
+    (single-head 'Oracle' ResNet, model/deeplab.py:130).
+
+    Custom VJP: XLA's select_and_scatter backward costs ~2.6 ms/step at
+    the backbone shape. The backward below routes each window's cotangent
+    to the FIRST max in row-major window-scan order (torch's and
+    select_and_scatter's tie rule) using parity-block tap extraction and
+    parity scatter-back — row-strided major-axis slices, contiguous
+    (W, C) <-> (W/2, 2C) flattens, static pads and compares only.
+    """
+    return _pool_fwd_impl(x, ceil_mode)
+
+
+def _pool_fwd(x, ceil_mode):
+    out = _pool_fwd_impl(x, ceil_mode)
+    return out, (x, out)
+
+
+def _pool_bwd(ceil_mode, res, g):
+    x, out = res
+    n, h, w, c = x.shape
+    oh, ow = out.shape[1], out.shape[2]
+    neg = -jnp.inf
+    # Pad to exactly (2oh+2, 2ow+2) so both row parities have oh+1 rows
+    # and the (s, c) lane flatten is uniform.
+    pb, pr = 2 * oh + 1 - h, 2 * ow + 1 - w
+    xp = jnp.pad(x, ((0, 0), (1, pb), (1, pr), (0, 0)),
+                 constant_values=neg)
+    b_par = []
+    for r in (0, 1):
+        br = xp[:, r::2]  # (n, oh+1, 2ow+2, c): rows 2u+r
+        b_par.append(br.reshape(n, oh + 1, ow + 1, 2 * c))
+
+    def tap(dy, dx):
+        a, r = divmod(dy, 2)
+        b, s = divmod(dx, 2)
+        return b_par[r][:, a:a + oh, b:b + ow, s * c:(s + 1) * c]
+
+    zero = jnp.zeros((), g.dtype)
+    seen = jnp.zeros(out.shape, jnp.bool_)
+    dm = {}
+    for dy in range(3):
+        for dx in range(3):
+            eq = tap(dy, dx) == out
+            dm[(dy, dx)] = jnp.where(eq & ~seen, g, zero)
+            seen = seen | eq
+
+    # Scatter back: group taps by parity, place each at its (a, b) offset
+    # on an (oh+1, ow+1) canvas, then invert the block build.
+    rows = []
+    for r in (0, 1):
+        halves = []
+        for s in (0, 1):
+            acc = None
+            for dy in range(r, 3, 2):
+                for dx in range(s, 3, 2):
+                    a, b = dy // 2, dx // 2
+                    t = jnp.pad(dm[(dy, dx)],
+                                ((0, 0), (a, 1 - a), (b, 1 - b), (0, 0)))
+                    acc = t if acc is None else acc + t
+            halves.append(acc)
+        qr = jnp.concatenate(halves, axis=-1)  # (n, oh+1, ow+1, 2c)
+        rows.append(qr.reshape(n, oh + 1, 2 * ow + 2, c))
+    dxp = jnp.stack(rows, axis=2).reshape(n, 2 * oh + 2, 2 * ow + 2, c)
+    return (dxp[:, 1:1 + h, 1:1 + w].astype(x.dtype),)
+
+
+max_pool_3x3_s2.defvjp(_pool_fwd, _pool_bwd)
 
 
 def max_pool_2x2_s2(x: jnp.ndarray) -> jnp.ndarray:
