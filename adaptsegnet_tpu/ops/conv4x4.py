@@ -76,6 +76,9 @@ def conv4x4_stride2(
     #    eight K=2C matmuls): multi-level step 62.8 -> 69.1 ms — the
     #    autodiff transpose of the row-strided slices and the halved-K
     #    matmuls lose more than the transpose-engine shuffle costs.
+    #  - zero-padding C=19 inputs to 32 so 4C = 128 is one full lane tile:
+    #    shuffle times barely moved (reshape 2.41 -> 2.30 ms) and the pad
+    #    itself costs more than it saves (step 59.1 -> 60.0 ms).
     # XLA's transpose engine handles this s2d reshuffle better than any
     # slice-based alternative tried.
     return _fwd_impl(x, kernel, bias)
