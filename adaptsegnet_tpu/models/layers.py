@@ -474,8 +474,7 @@ def _pool_bwd(ceil_mode, res, g):
 max_pool_3x3_s2.defvjp(_pool_fwd, _pool_bwd)
 
 
-def max_pool_2x2_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(kernel=2, stride=2) — VGG-16 pools (torchvision)."""
+def _pool2_fwd_impl(x: jnp.ndarray) -> jnp.ndarray:
     neg = -jnp.inf
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
@@ -483,6 +482,48 @@ def max_pool_2x2_s2(x: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 2, 2, 1),
         padding="VALID",
     )
+
+
+@jax.custom_vjp
+def max_pool_2x2_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=2, stride=2) — VGG-16 pools (torchvision).
+
+    Custom VJP with torch's first-max tie rule (same machinery as
+    max_pool_3x3_s2, simpler because windows don't overlap: each input
+    pixel belongs to exactly one window).
+    """
+    return _pool2_fwd_impl(x)
+
+
+def _pool2_fwd(x):
+    out = _pool2_fwd_impl(x)
+    return out, (x, out)
+
+
+def _pool2_bwd(res, g):
+    x, out = res
+    n, h, w, c = x.shape
+    oh, ow = h // 2, w // 2
+    b_par = [x[:, r::2].reshape(n, oh, ow, 2 * c) for r in (0, 1)]
+
+    zero = jnp.zeros((), g.dtype)
+    seen = jnp.zeros(out.shape, jnp.bool_)
+    dm = {}
+    for r in (0, 1):
+        for s in (0, 1):
+            eq = b_par[r][..., s * c:(s + 1) * c] == out
+            dm[(r, s)] = jnp.where(eq & ~seen, g, zero)
+            seen = seen | eq
+
+    rows = []
+    for r in (0, 1):
+        qr = jnp.concatenate([dm[(r, 0)], dm[(r, 1)]], axis=-1)
+        rows.append(qr.reshape(n, oh, w, c))
+    dx = jnp.stack(rows, axis=2).reshape(n, h, w, c)
+    return (dx.astype(x.dtype),)
+
+
+max_pool_2x2_s2.defvjp(_pool2_fwd, _pool2_bwd)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:

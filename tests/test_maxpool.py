@@ -43,6 +43,23 @@ def test_forward_and_grad_match_torch(rng, ceil_mode, h, w):
     np.testing.assert_allclose(np.asarray(dx), ref_dx, rtol=1e-5, atol=1e-6)
 
 
+def test_pool2x2_grad_matches_torch(rng):
+    from adaptsegnet_tpu.models.layers import max_pool_2x2_s2
+
+    x = np.maximum(rng.standard_normal((2, 12, 16, 5), dtype=np.float32), 0.0)
+    g = rng.standard_normal((2, 6, 8, 5)).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    ty = F.max_pool2d(tx, 2, stride=2)
+    ty.backward(torch.from_numpy(np.transpose(g, (0, 3, 1, 2))))
+    y, vjp = jax.vjp(max_pool_2x2_s2, jnp.asarray(x))
+    (dx,) = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.transpose(ty.detach().numpy(), (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(dx),
+                               np.transpose(tx.grad.numpy(), (0, 2, 3, 1)),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_grad_all_ties(rng):
     """A constant input ties EVERY window everywhere; the full cotangent
     mass must still be conserved and routed like torch's."""
