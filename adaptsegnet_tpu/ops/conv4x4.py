@@ -80,8 +80,41 @@ def conv4x4_stride2(
     #    shuffle times barely moved (reshape 2.41 -> 2.30 ms) and the pad
     #    itself costs more than it saves (step 59.1 -> 60.0 ms).
     # XLA's transpose engine handles this s2d reshuffle better than any
-    # slice-based alternative tried.
+    # slice-based alternative tried — EXCEPT for the C=3 image stem (the
+    # Warper encoder's first conv), where the s2d reshape of the RGB-minor
+    # tensor costs ~0.6 ms/step and the conv runs forward-only (the Warper
+    # has no backward in training: flow is constant wrt generator params),
+    # so the row-parity form's weak autodiff transpose never runs.
+    if x.shape[-1] <= 4:
+        return _fwd_rowparity(x, kernel, bias)
     return _fwd_impl(x, kernel, bias)
+
+
+def _fwd_rowparity(x, kernel, bias):
+    """Row-parity variant: B_r(u,v)[s,c] = x_p(2u+r, 2v+s, c); eight
+    K=2C static-slice matmuls. Strided slices on the MAJOR axis + a
+    contiguous (W,C)->(W/2,2C) flatten — no transpose at all."""
+    n, h, w, c = x.shape
+    kh, kw, kc, cout = kernel.shape
+    assert (kh, kw) == (4, 4) and kc == c and h % 2 == 0 and w % 2 == 0
+    oh, ow = h // 2, w // 2
+    f32 = x.dtype == jnp.float32
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    k = kernel.astype(x.dtype)
+    out = None
+    for r in (0, 1):
+        br = xp[:, r::2].reshape(n, oh + 1, ow + 1, 2 * c)
+        for a in (0, 1):
+            for b in (0, 1):
+                wab = k[2 * a + r, 2 * b:2 * b + 2].reshape(2 * c, cout)
+                xab = jax.lax.slice(
+                    br, (0, a, b, 0), (n, a + oh, b + ow, 2 * c)
+                )
+                y = _dot(xab, wab, f32)
+                out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _fwd_impl(x, kernel, bias):

@@ -63,6 +63,21 @@ def test_forward_matches_torch_large_c(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_forward_matches_torch_rgb_stem(rng):
+    """C=3 takes the row-parity path (the Warper encoder stem)."""
+    x = rng.standard_normal((2, 12, 16, 3), dtype=np.float32)
+    k = (rng.standard_normal((4, 4, 3, 8)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    ours = np.asarray(conv4x4_stride2(jnp.asarray(x), jnp.asarray(k),
+                                      jnp.asarray(b)))
+    ref = F.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(k.transpose(3, 2, 0, 1)),
+        torch.from_numpy(b), stride=2, padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_grad_no_bias(rng):
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
     k = jnp.asarray((rng.standard_normal((4, 4, 4, 2)) * 0.1).astype(np.float32))
