@@ -47,6 +47,12 @@ def get_arguments(argv=None):
     p.add_argument("--output-size", type=str, default="2048,1024",
                    help="W,H of the upsampled prediction (reference :153).")
     p.add_argument("--aspp-sum", type=str, default="")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="Shard the eval batch over a data-parallel mesh of "
+                        "this many devices (the reference DataParallels "
+                        "eval by default, evaluate_cityscapes.py:92,145); "
+                        "batch-size must be a multiple. 0 = all devices.")
     return p.parse_args(argv)
 
 
@@ -90,18 +96,23 @@ def _mode_subdir(args) -> str:
 def evaluate_checkpoint(args, model, output_index, loader, ckpt_path, save_dir):
     variables = load_variables(model, loader, ckpt_path, args.num_classes)
     ow, oh = map(int, args.output_size.split(","))
+    mesh = None
+    if args.num_devices != 1:
+        from adaptsegnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
     # Single-output models (Oracle/VGG) return a bare array; make_eval_fn
     # only indexes tuple outputs, so output_index is ignored there.
     evaluator = Evaluator(
         model, out_hw=(oh, ow),
         output_index=output_index if output_index is not None else 0,
-        save_dir=save_dir,
+        save_dir=save_dir, mesh=mesh,
     )
     w, h = map(int, args.input_size.split(","))
     ds = CityscapesDataset(
         args.data_dir, args.data_list, crop_size=(w, h), set=args.set
     )
-    return evaluator.run(variables, ds)
+    return evaluator.run(variables, ds, batch_size=args.batch_size)
 
 
 def main(argv=None):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from adaptsegnet_tpu.ops import upsample_logits
+from adaptsegnet_tpu.ops.metrics import fast_hist_jax
 from adaptsegnet_tpu.eval.palette import colorize_mask
 
 
@@ -63,11 +64,47 @@ def make_eval_fn(
     return eval_fn
 
 
+def make_eval_hist_fn(
+    model,
+    out_hw: tuple[int, int] = (1024, 2048),
+    output_index: int = 1,
+    num_classes: int = 19,
+    dtype=jnp.float32,
+) -> Callable:
+    """Jitted (variables, images, labels) -> (masks uint8, hist int32).
+
+    The PNG-free streaming-mIoU tail: the confusion matrix accumulates ON
+    DEVICE (one-hot matmul, ops/metrics.fast_hist_jax) so only 19x19 ints —
+    not full-resolution masks — need crossing device->host per batch.
+    Labels are train ids at out_hw resolution; out-of-range ids (255
+    ignore / padding) contribute nothing. Under a data-parallel mesh the
+    batch axis is sharded and GSPMD turns the hist reduction into a psum
+    over ICI — the TPU replacement for the reference's default multi-GPU
+    DataParallel eval (evaluate_cityscapes.py:92,145-146).
+    """
+    exact = dtype == jnp.float32
+
+    @jax.jit
+    def eval_hist_fn(variables, images, labels):
+        preds = model.apply(variables, images.astype(dtype))
+        pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
+        up = upsample_logits(pred, out_hw, exact=exact)
+        masks = jnp.argmax(up, axis=-1).astype(jnp.uint8)
+        return masks, fast_hist_jax(labels, masks, num_classes)
+
+    return eval_hist_fn
+
+
 class Evaluator:
     """Streams a CityscapesDataset through a jitted eval fn, writing PNGs.
 
-    Mirrors the reference's per-snapshot loop body; `save_dir=None` skips PNG
-    output (device-side mIoU only, via `hist_update`).
+    Mirrors the reference's per-snapshot loop body; `save_dir=None` skips
+    PNG output. `run_streaming` accumulates the device-side confusion
+    matrix instead (PNG-free mIoU). Pass `mesh` (a 1-D data-parallel
+    jax.sharding.Mesh, parallel.make_mesh) to shard the eval batch over
+    devices — the reference evaluates with nn.DataParallel BY DEFAULT
+    (evaluate_cityscapes.py:92,145-146); this is its ICI-native
+    counterpart. batch_size must then be a multiple of the mesh size.
     """
 
     def __init__(
@@ -76,12 +113,39 @@ class Evaluator:
         out_hw: tuple[int, int] = (1024, 2048),
         output_index: int = 1,
         save_dir: Optional[str] = None,
+        mesh=None,
+        num_classes: int = 19,
     ):
         self.eval_fn = make_eval_fn(model, out_hw=out_hw,
                                     output_index=output_index)
+        self._model = model
+        self._out_hw = out_hw
+        self._output_index = output_index
+        self._num_classes = num_classes
+        self._hist_fn = None  # built lazily by run_streaming
+        self.mesh = mesh
         self.save_dir = save_dir
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
+
+    def _shard_fn(self):
+        if self.mesh is None:
+            return None
+        from adaptsegnet_tpu.parallel import batch_sharding
+
+        return lambda leaf: batch_sharding(self.mesh, leaf.ndim, batch_axis=0)
+
+    def _prepare(self, variables, batch_size):
+        if self.mesh is None:
+            return variables
+        if batch_size % self.mesh.size:
+            raise ValueError(
+                f"eval batch {batch_size} not divisible by the "
+                f"{self.mesh.size}-device mesh"
+            )
+        from adaptsegnet_tpu.parallel import replicate
+
+        return replicate(self.mesh, variables)
 
     def run(self, variables, dataset, batch_size: int = 1,
             progress_every: int = 100, num_workers: int = 4) -> list[str]:
@@ -95,9 +159,11 @@ class Evaluator:
 
         from adaptsegnet_tpu.data.pipeline import PrefetchIterator, stack_collate
 
+        variables = self._prepare(variables, batch_size)
         n = len(dataset)
         it = PrefetchIterator(
             dataset, batch_size, collate=stack_collate({0}),
+            sharding=self._shard_fn(),
             shuffle=False, num_workers=num_workers,
             max_batches=n // batch_size,
         ) if n >= batch_size else None
@@ -106,23 +172,14 @@ class Evaluator:
         futures = []
         written = []
 
-        def save(mask, name):
-            base = name.split("/")[-1]
-            out = osp.join(self.save_dir, base)
-            from PIL import Image
-
-            Image.fromarray(np.asarray(mask)).save(out)
-            colorize_mask(np.asarray(mask)).save(
-                osp.join(self.save_dir, base.split(".")[0] + "_color.png")
-            )
-            return out
-
         def handle(masks, names, start):
             if start % (progress_every * batch_size) == 0:
                 print(f"{start} processd")  # reference log line (:157)
             if self.save_dir:
                 for mask, name in zip(np.asarray(masks), names):
-                    futures.append(writer_pool.submit(save, mask, name))
+                    futures.append(
+                        writer_pool.submit(self._save_mask, mask, name)
+                    )
 
         start = 0
         if it is not None:
@@ -140,7 +197,10 @@ class Evaluator:
             k = len(items)
             imgs = [it_[0] for it_ in items]
             imgs += [imgs[-1]] * (batch_size - k)
-            images = jnp.asarray(np.stack(imgs))
+            images = np.stack(imgs)
+            shard = self._shard_fn()
+            images = (jax.device_put(images, shard(images)) if shard
+                      else jnp.asarray(images))
             names = [it_[-1] for it_ in items]
             masks = self.eval_fn(variables, images)[:k]
             handle(masks, names, start)
@@ -149,3 +209,114 @@ class Evaluator:
             written.append(f.result())
         writer_pool.shutdown()
         return written
+
+    def run_streaming(
+        self,
+        variables,
+        dataset,
+        gt_loader: Callable[[str], np.ndarray],
+        batch_size: int = 1,
+        num_workers: int = 4,
+        progress_every: int = 100,
+    ) -> np.ndarray:
+        """PNG-free streaming mIoU: returns the accumulated confusion matrix.
+
+        `gt_loader(name) -> (H, W) int train-id label` at the evaluator's
+        output resolution (use eval.compute_iou machinery / devkit mapping
+        to build one). The hist is accumulated on device — per batch only
+        19x19 ints stay live; under a mesh the batch is sharded and the
+        reduction psums over ICI. PNGs are still written when save_dir is
+        set (the masks come back from the same jitted program). Pad/ragged
+        items carry ignore labels so they contribute nothing.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from adaptsegnet_tpu.data.pipeline import PrefetchIterator, stack_collate
+
+        if self._hist_fn is None:
+            self._hist_fn = make_eval_hist_fn(
+                self._model, out_hw=self._out_hw,
+                output_index=self._output_index,
+                num_classes=self._num_classes,
+            )
+        variables = self._prepare(variables, batch_size)
+        shard = self._shard_fn()
+
+        class _WithLabels:
+            """Dataset adapter: item -> (image, label, name)."""
+
+            def __init__(self, ds):
+                self._ds = ds
+
+            def __len__(self):
+                return len(self._ds)
+
+            def __getitem__(self, i):
+                item = self._ds[i]
+                image, name = item[0], item[-1]
+                return image, gt_loader(name).astype(np.int32), name
+
+        ds = _WithLabels(dataset)
+        n = len(ds)
+        it = PrefetchIterator(
+            ds, batch_size, collate=stack_collate({0, 1}), sharding=shard,
+            shuffle=False, num_workers=num_workers,
+            max_batches=n // batch_size,
+        ) if n >= batch_size else None
+
+        writer_pool = ThreadPoolExecutor(max_workers=2) if self.save_dir else None
+        futures = []
+
+        def handle(masks, names, start):
+            if start % (progress_every * batch_size) == 0:
+                print(f"{start} processd")  # reference log line (:157)
+            if writer_pool is not None:
+                for mask, name in zip(np.asarray(masks), names):
+                    futures.append(
+                        writer_pool.submit(self._save_mask, mask, name)
+                    )
+
+        hist = None
+        start = 0
+        if it is not None:
+            for batch in it:
+                images, labels, names = batch[0], batch[1], batch[-1]
+                masks, h = self._hist_fn(variables, images, labels)
+                hist = h if hist is None else hist + h
+                handle(masks, names, start)
+                start += batch_size
+            it.close()
+        if start < n:
+            items = [ds[i] for i in range(start, n)]
+            k = len(items)
+            imgs = [x[0] for x in items]
+            labs = [x[1] for x in items]
+            imgs += [imgs[-1]] * (batch_size - k)
+            # Padded slots get all-ignore labels: zero hist contribution.
+            labs += [np.full_like(labs[-1], 255)] * (batch_size - k)
+            images, labels = np.stack(imgs), np.stack(labs)
+            if shard:
+                images = jax.device_put(images, shard(images))
+                labels = jax.device_put(labels, shard(labels))
+            masks, h = self._hist_fn(variables, images, labels)
+            hist = h if hist is None else hist + h
+            handle(masks[:k], [x[-1] for x in items], start)
+
+        if writer_pool is not None:
+            for f in futures:
+                f.result()
+            writer_pool.shutdown()
+        return np.zeros(
+            (self._num_classes, self._num_classes), np.int64
+        ) if hist is None else np.asarray(jax.device_get(hist)).astype(np.int64)
+
+    def _save_mask(self, mask, name):
+        from PIL import Image
+
+        base = name.split("/")[-1]
+        out = osp.join(self.save_dir, base)
+        Image.fromarray(np.asarray(mask)).save(out)
+        colorize_mask(np.asarray(mask)).save(
+            osp.join(self.save_dir, base.split(".")[0] + "_color.png")
+        )
+        return out

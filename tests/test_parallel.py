@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from adaptsegnet_tpu.parallel import make_mesh, replicate, shard_batch
-from tests.test_steps import HW, make_batch, make_states
+from tests.test_steps import HW, TinySeg, make_batch, make_states
 from adaptsegnet_tpu.train.steps import make_adversarial_step
 
 
@@ -64,3 +64,69 @@ def test_entry_compiles():
     p1, p2 = out
     assert p1.shape == (1, 32, 64, 19)
     assert p2.shape == (1, 32, 64, 19)
+
+
+class _ArrayDataset:
+    """In-memory (image, name) dataset with the Cityscapes item contract."""
+
+    def __init__(self, images, names):
+        self._images = images
+        self._names = names
+
+    def __len__(self):
+        return len(self._names)
+
+    def __getitem__(self, i):
+        return self._images[i], (64, 32), self._names[i]
+
+
+def test_mesh_sharded_eval_matches_single_device(rng, tmp_path):
+    """Evaluator(mesh=8) must produce the identical masks and confusion
+    matrix as the single-device evaluator (the reference's default eval is
+    multi-GPU DataParallel, evaluate_cityscapes.py:92,145-146). Covers the
+    ragged tail (10 images, batch 8)."""
+    from PIL import Image
+
+    from adaptsegnet_tpu.eval.evaluator import Evaluator
+    from adaptsegnet_tpu.ops.metrics import mean_iou
+
+    n, hw = 10, (16, 32)
+    images = rng.standard_normal((n, *hw, 3)).astype(np.float32)
+    names = [f"city/city_{i:06d}_leftImg8bit.png" for i in range(n)]
+    labels = {
+        nm: rng.integers(0, 19, size=hw).astype(np.int32) for nm in names
+    }
+    # Sprinkle ignore pixels.
+    for nm in names:
+        labels[nm][0, :4] = 255
+    ds = _ArrayDataset(images, names)
+    gt = lambda nm: labels[nm]
+
+    model = TinySeg()
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, *hw, 3)))
+
+    def run(mesh, out_dir):
+        ev = Evaluator(model, out_hw=hw, output_index=1,
+                       save_dir=str(out_dir), mesh=mesh)
+        return ev.run_streaming(variables, ds, gt, batch_size=8,
+                                num_workers=2)
+
+    hist_single = run(None, tmp_path / "single")
+    hist_mesh = run(make_mesh(8), tmp_path / "mesh")
+
+    np.testing.assert_array_equal(hist_single, hist_mesh)
+    assert hist_single.sum() == n * hw[0] * hw[1] - n * 4  # ignores dropped
+    assert np.isfinite(mean_iou(hist_single))
+    for nm in names:
+        base = nm.split("/")[-1]
+        a = np.array(Image.open(tmp_path / "single" / base))
+        b = np.array(Image.open(tmp_path / "mesh" / base))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_eval_rejects_indivisible_batch():
+    from adaptsegnet_tpu.eval.evaluator import Evaluator
+
+    ev = Evaluator(TinySeg(), out_hw=(16, 32), mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="not divisible"):
+        ev._prepare({}, 3)
