@@ -54,6 +54,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x):
@@ -63,7 +64,7 @@ class Bottleneck(nn.Module):
             return conv_bn_folded(
                 self, y, features, k, conv_name, bn_name, stride=stride,
                 padding=dilation if k == 3 else 0, dilation=dilation,
-                dtype=self.dtype,
+                dtype=self.dtype, bn_mode=self.bn_mode,
             )
 
         residual = x
@@ -164,12 +165,13 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     ceil_mode_pool: bool = False
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x):
         x = conv_bn_folded(
             self, x, 64, 7, "conv1", "bn1", stride=2, padding=3,
-            dtype=self.dtype,
+            dtype=self.dtype, bn_mode=self.bn_mode,
         )
         x = nn.relu(x)
         x = max_pool_3x3_s2(x, ceil_mode=self.ceil_mode_pool)
@@ -194,6 +196,7 @@ class ResNetBackbone(nn.Module):
                     dilation=dilation,
                     has_downsample=(bi == 0),
                     dtype=self.dtype,
+                    bn_mode=self.bn_mode,
                     name=f"layer{li}_block{bi}",
                 )(x)
             feats[f"layer{li}"] = x
@@ -211,10 +214,13 @@ class DeeplabMulti(nn.Module):
 
     num_classes: int = 19
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x):
-        feats = ResNetBackbone(dtype=self.dtype, name="backbone")(x)
+        feats = ResNetBackbone(
+            dtype=self.dtype, bn_mode=self.bn_mode, name="backbone"
+        )(x)
         pred1 = ClassifierModule(
             self.num_classes, dtype=self.dtype, name="layer5"
         )(feats["layer3"])
@@ -237,11 +243,13 @@ class DeeplabSingle(nn.Module):
     num_classes: int = 19
     aspp_sum: str = "first2"
     dtype: Dtype = jnp.float32
+    bn_mode: str = "frozen"
 
     @nn.compact
     def __call__(self, x):
         feats = ResNetBackbone(
-            ceil_mode_pool=True, dtype=self.dtype, name="backbone"
+            ceil_mode_pool=True, dtype=self.dtype, bn_mode=self.bn_mode,
+            name="backbone",
         )(x)
         return ClassifierModule(
             self.num_classes, aspp_sum=self.aspp_sum, dtype=self.dtype,

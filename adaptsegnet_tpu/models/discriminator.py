@@ -27,16 +27,64 @@ from adaptsegnet_tpu.models.layers import (
 Dtype = Any
 
 
+class _Conv4x4Params(nn.Module):
+    """Param-only holder with Conv2d's <name>/conv/{kernel,bias} layout."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        class _P(nn.Module):
+            cin: int
+            cout: int
+
+            @nn.compact
+            def __call__(self):
+                k = self.param(
+                    "kernel", torch_default_kernel_init,
+                    (4, 4, self.cin, self.cout),
+                )
+                b = self.param(
+                    "bias", torch_default_bias_init(4 * 4 * self.cin),
+                    (self.cout,),
+                )
+                return k, b
+
+        return _P(self.cin, self.cout, name="conv")()
+
+
 class FCDiscriminator(nn.Module):
+    """Input is either the (N, H, W, C) softmax map, or the 4-tuple of
+    stride-2 parity phases from ops.resize.upsample_softmax_s2d — the
+    blocked producer layout that lets conv1 run shuffle-free
+    (ops.conv4x4.conv4x4_s2d_phases). Same params, same math, same
+    checkpoint layout either way."""
+
     num_classes: int = 19
     ndf: int = 64
     dtype: Dtype = jnp.float32
+
+    # Advertises the tuple input contract to train/steps.py (test stand-in
+    # discriminators without this attribute get the dense softmax map).
+    supports_s2d_phases = True
 
     @nn.compact
     def __call__(self, x):
         widths = [self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8, 1]
         cin = self.num_classes
-        for i, cout in enumerate(widths):
+        start = 0
+        if isinstance(x, (tuple, list)):
+            from adaptsegnet_tpu.ops.conv4x4 import conv4x4_s2d_phases
+
+            k, b = _Conv4x4Params(cin, self.ndf, name="conv1")()
+            x = conv4x4_s2d_phases(
+                tuple(p.astype(self.dtype) for p in x),
+                jnp.asarray(k, self.dtype), jnp.asarray(b, self.dtype),
+            )
+            x = leaky_relu(x, 0.2)
+            cin, start = self.ndf, 1
+        for i, cout in list(enumerate(widths))[start:]:
             name = "classifier" if i == len(widths) - 1 else f"conv{i + 1}"
             x = Conv2d(
                 cout, 4, stride=2, padding=1, use_bias=True,

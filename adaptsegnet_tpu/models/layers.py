@@ -294,6 +294,67 @@ class _FrozenBNParams(nn.Module):
         return _Inner(self.features, name="bn")()
 
 
+class _BNTrainFrozenAffine(nn.Module):
+    """Train-mode BatchNorm with FROZEN affine: the reference's backbone BN
+    dynamics under model.train() (train_gta2cityscapes_multi.py:222 +
+    model/deeplab_multi.py:130-132 — affine requires_grad=False, but
+    normalization uses BATCH statistics and running stats update with
+    torch momentum 0.1).
+
+    Param/stat paths match _FrozenBNParams (<name>/bn/{scale,bias} +
+    batch_stats mean/var) so checkpoints and optimizer labels are shared
+    between bn modes. Gradients flow through the batch statistics (torch's
+    train-mode BN backward); the affine and the running-stat updates are
+    stop_gradient'ed.
+    """
+
+    features: int
+    momentum: float = 0.1  # torch convention: ra = (1-m)*ra + m*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y):
+        class _Inner(nn.Module):
+            features: int
+            momentum: float
+            epsilon: float
+
+            @nn.compact
+            def __call__(self, y):
+                scale = self.param("scale", nn.initializers.ones_init(),
+                                   (self.features,))
+                bias = self.param("bias", nn.initializers.zeros_init(),
+                                  (self.features,))
+                ra_mean = self.variable(
+                    "batch_stats", "mean",
+                    lambda: jnp.zeros((self.features,), jnp.float32))
+                ra_var = self.variable(
+                    "batch_stats", "var",
+                    lambda: jnp.ones((self.features,), jnp.float32))
+                yf = y.astype(jnp.float32)
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                # Biased variance normalizes; unbiased updates running var
+                # (torch F.batch_norm training semantics). Two-pass form:
+                # E[x^2]-mean^2 cancels catastrophically in f32 and the
+                # error compounds over the backbone's ~100 BNs (measured
+                # 0.03 logit drift vs torch; two-pass restores <5e-4).
+                var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+                if not self.is_initializing():
+                    m = self.momentum
+                    n = y.shape[0] * y.shape[1] * y.shape[2]
+                    unbiased = var * (n / max(n - 1, 1))
+                    sg = jax.lax.stop_gradient
+                    ra_mean.value = (1 - m) * ra_mean.value + m * sg(mean)
+                    ra_var.value = (1 - m) * ra_var.value + m * sg(unbiased)
+                sg = jax.lax.stop_gradient
+                out = (yf - mean) * jax.lax.rsqrt(var + self.epsilon)
+                out = out * sg(scale) + sg(bias)
+                return out.astype(y.dtype)
+
+        return _Inner(self.features, self.momentum, self.epsilon,
+                      name="bn")(y)
+
+
 def conv_bn_folded(
     parent_compact_self,
     x: jnp.ndarray,
@@ -307,6 +368,7 @@ def conv_bn_folded(
     epsilon: float = 1e-5,
     kernel_init: Callable = normal_conv_init(0.01),
     dtype: Dtype = jnp.float32,
+    bn_mode: str = "frozen",
 ):
     """Conv (no bias) + frozen inference-mode BatchNorm, BN-folded.
 
@@ -328,18 +390,28 @@ def conv_bn_folded(
     cin = x.shape[-1]
     kernel = _ConvKernelParams(cin, features, kernel_size, kernel_init,
                                name=conv_name)()
-    scale, bias, mean, var = _FrozenBNParams(features, name=bn_name)()
+    if bn_mode == "batch":
+        # Reference train-mode dynamics: normalization depends on the conv
+        # OUTPUT's batch statistics, so nothing folds — run the raw conv and
+        # normalize after (_BNTrainFrozenAffine, same param paths).
+        w_folded = kernel.astype(dtype)
+        b_folded = None
+    elif bn_mode == "frozen":
+        scale, bias, mean, var = _FrozenBNParams(features, name=bn_name)()
 
-    # The backbone BN affine params are FROZEN (reference requires_grad=False
-    # + optimizer exclusion, model/deeplab_multi.py:131-132,196-218; our
-    # optim labels them lr*0). stop_gradient here lets XLA delete their
-    # gradient reductions outright — measured ~4-7 ms/step of pure waste
-    # (one sum-over-activations per conv per backbone pass) otherwise.
-    s = jax.lax.stop_gradient(
-        (scale * jax.lax.rsqrt(var + epsilon)).astype(jnp.float32)
-    )
-    w_folded = (kernel.astype(jnp.float32) * s).astype(dtype)
-    b_folded = jax.lax.stop_gradient((bias - mean * s).astype(dtype))
+        # The backbone BN affine params are FROZEN (reference
+        # requires_grad=False + optimizer exclusion,
+        # model/deeplab_multi.py:131-132,196-218; our optim labels them
+        # lr*0). stop_gradient here lets XLA delete their gradient
+        # reductions outright — measured ~4-7 ms/step of pure waste (one
+        # sum-over-activations per conv per backbone pass) otherwise.
+        s = jax.lax.stop_gradient(
+            (scale * jax.lax.rsqrt(var + epsilon)).astype(jnp.float32)
+        )
+        w_folded = (kernel.astype(jnp.float32) * s).astype(dtype)
+        b_folded = jax.lax.stop_gradient((bias - mean * s).astype(dtype))
+    else:
+        raise ValueError(f"bn_mode must be 'frozen' or 'batch': {bn_mode!r}")
     x = x.astype(dtype)
     # f32 is the bit-parity path: TPU's DEFAULT conv precision multiplies in
     # bf16 even for f32 operands, which silently breaks torch-exact eval on
@@ -369,6 +441,8 @@ def conv_bn_folded(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=(jax.lax.Precision.HIGHEST if f32_exact else None),
         )
+    if bn_mode == "batch":
+        return _BNTrainFrozenAffine(features, epsilon=epsilon, name=bn_name)(y)
     return y + b_folded
 
 
@@ -504,6 +578,12 @@ def _pool2_bwd(res, g):
     x, out = res
     n, h, w, c = x.shape
     oh, ow = h // 2, w // 2
+    if h % 2 or w % 2:
+        # VALID floor-mode pooling never reads the odd trailing row/col, so
+        # its gradient is zero: recurse on the even crop and pad back. (The
+        # parity-block reshape below requires even dims.)
+        (dx_even,) = _pool2_bwd((x[:, : 2 * oh, : 2 * ow], out), g)
+        return (jnp.pad(dx_even, ((0, 0), (0, h % 2), (0, w % 2), (0, 0))),)
     b_par = [x[:, r::2].reshape(n, oh, ow, 2 * c) for r in (0, 1)]
 
     zero = jnp.zeros((), g.dtype)

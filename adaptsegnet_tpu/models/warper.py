@@ -59,7 +59,6 @@ class _ParamOnlyConv(nn.Module):
 
     cin: int
     cout: int
-    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self):
@@ -242,9 +241,7 @@ class WarperDecoder(nn.Module):
             out = resize_bilinear_half_pixel(
                 out, (h * 2, w * 2), exact=self.dtype == jnp.float32
             )
-            k, b = _ParamOnlyConv(
-                c, self.out_channel, self.dtype, name="output_conv"
-            )()
+            k, b = _ParamOnlyConv(c, self.out_channel, name="output_conv")()
             out = conv3x3_planar_out(out, k, b)
         else:
             out = up_stage(out, self.out_channel, "output", use_bn=False,

@@ -136,3 +136,37 @@ def _fwd_impl(x, kernel, bias):
     return out.astype(x.dtype)
 
 
+def conv4x4_s2d_phases(
+    phases, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """conv4x4_stride2 on a pre-blocked parity-phase input.
+
+    `phases` is the 4-tuple (index 2r + s) of (N, H/2+1, W/2+1, C) tensors
+    from ops.resize.upsample_softmax_s2d: phase_rs[u, v] = x_pad[2u+r, 2v+s].
+    Then out(i, j) = sum_{a,b,r,s} phase_rs[i+a, j+b] @ W[2a+r, 2b+s] —
+    sixteen static-slice K=C matmuls, algebraically identical to
+    conv4x4_stride2(x, ...) but with NO space-to-depth shuffle anywhere:
+    the producer already emitted blocks (the relayout that cost ~7.6 ms
+    across the six discriminator applications of the multi-level step).
+    """
+    n, hb, wb, c = phases[0].shape
+    kh, kw, kc, cout = kernel.shape
+    assert (kh, kw) == (4, 4) and kc == c
+    oh, ow = hb - 1, wb - 1
+    dtype = phases[0].dtype
+    f32 = dtype == jnp.float32
+    k = kernel.astype(dtype)
+    out = None
+    for r in (0, 1):
+        for s in (0, 1):
+            p = phases[2 * r + s]
+            for a in (0, 1):
+                for b in (0, 1):
+                    xab = jax.lax.slice(
+                        p, (0, a, b, 0), (n, a + oh, b + ow, c)
+                    )
+                    y = _dot(xab, k[2 * a + r, 2 * b + s], f32)
+                    out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(dtype)

@@ -58,8 +58,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 1024  # output pixels per grid step (fwd / d-x kernels)
+_BLOCK = 1024  # output pixels per grid step (fwd / d-x kernels), bf16
+_BLOCK_F32 = 512  # f32 keeps t/vye at ~5 MB each at 1024 -> halve vs the
+#                   16 MB VMEM stack limit (advisor r2; untested headroom)
 _BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
+
+
+def _block(cdtype):
+    return _BLOCK if cdtype == jnp.bfloat16 else _BLOCK_F32
 
 
 def _hats(pos0, w1, iota, scale):
@@ -227,7 +233,7 @@ def _sample_fwd(x, iy, ix, interpret):
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
-    bp = _BLOCK
+    bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
     nb = (p + pad) // bp
     out = pl.pallas_call(
@@ -311,7 +317,7 @@ def _sample_bwd(interpret, res, g):
 def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret):
     """Per-batch dx: grid (n, nb); each batch's block accumulates over nb."""
     n, hl, wl, c, hh, wh, p, sy, sx = geo
-    bp = _BLOCK
+    bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
     gp = jnp.pad(gf, ((0, 0), (0, pad), (0, 0))) if pad else gf
     nb = (p + pad) // bp

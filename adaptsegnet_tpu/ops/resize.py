@@ -123,6 +123,76 @@ def resize_bilinear_align_corners(
     return _separable_resize(x, out_hw, _interp_matrix, exact=exact)
 
 
+@functools.lru_cache(maxsize=64)
+def _phase_matrix(in_len: int, out_len: int, parity: int) -> np.ndarray:
+    """(out_len//2 + 1, in_len) matrix: align-corners interp rows for the
+    stride-2 parity taps 2u + parity - 1, zero rows where that index falls
+    in the conv pad (outside [0, out_len)).
+
+    This is the row/col factor of s2d(pad1(upsample(x))): emitting the
+    space-to-depth BLOCKS of the upsampled tensor directly as matmuls, so
+    the 4x4/stride-2 consumer (FCDiscriminator conv1) never needs the
+    (H, W, C) -> (H/2+1, W/2+1, 4C) shuffle that cost ~7.6 ms/step across
+    its six applications (profiled r2; ops/conv4x4.py NOTEs).
+    """
+    full = _interp_matrix(in_len, out_len)
+    nb = out_len // 2 + 1
+    m = np.zeros((nb, in_len), dtype=np.float32)
+    for u in range(nb):
+        src = 2 * u + parity - 1
+        if 0 <= src < out_len:
+            m[u] = full[src]
+    return m
+
+
+def upsample_softmax_s2d(
+    logits: jnp.ndarray, out_hw: tuple[int, int]
+) -> tuple[jnp.ndarray, ...]:
+    """softmax(upsample(logits)) in stride-2 parity-phase (blocked) form.
+
+    Returns 4 tensors phase[(r, s)] of shape (N, H/2+1, W/2+1, C) with
+    phase_rs[u, v] = sm_pad[2u + r, 2v + s] where sm_pad is the channel
+    softmax of the align-corners-upsampled logits, zero-padded by one pixel
+    — exactly conv4x4.s2d(pad(softmax(upsample(x)))) split channel-groups,
+    but produced by four phase-sliced MXU matmul resizes + per-phase
+    softmax, with the pad positions masked to zero. Order: (0,0), (0,1),
+    (1,0), (1,1) i.e. index = 2r + s.
+
+    This is the TPU-native producer for the discriminator input
+    (reference train_gta2cityscapes_multi.py:423 feeds
+    F.softmax(interp(pred)) to the D): the blocked layout means the
+    4x4/stride-2 conv1 consumes it as clean matmuls (conv4x4_s2d_phases)
+    with no space-to-depth relayout anywhere.
+    """
+    n, h, w, c = logits.shape
+    oh, ow = out_hw
+    x = logits
+    phases = []
+    for r in (0, 1):
+        mh = jnp.asarray(_phase_matrix(h, oh, r), x.dtype)
+        yr = jnp.einsum("uh,nhwc->nuwc", mh, x)
+        for s in (0, 1):
+            mw = jnp.asarray(_phase_matrix(w, ow, s), x.dtype)
+            p = jnp.einsum("vw,nhwc->nhvc", mw, yr)
+            p = jax.nn.softmax(p, axis=-1)
+            # softmax turns the zero pad rows into uniform 1/C; the conv pad
+            # must be ZERO. Mask the (at most one) pad row/col per phase.
+            hb, wb = oh // 2 + 1, ow // 2 + 1
+            rmask = np.ones((hb, 1, 1), np.float32)
+            cmask = np.ones((wb, 1), np.float32)
+            if r == 0:
+                rmask[0] = 0.0
+            else:
+                rmask[-1] = 0.0
+            if s == 0:
+                cmask[0] = 0.0
+            else:
+                cmask[-1] = 0.0
+            p = p * jnp.asarray(rmask * cmask[None], p.dtype)
+            phases.append(p)
+    return tuple(phases)
+
+
 def upsample_logits(
     logits: jnp.ndarray, out_hw: tuple[int, int], exact: bool = True
 ) -> jnp.ndarray:

@@ -8,6 +8,7 @@ pytree.
 
 from __future__ import annotations
 
+import logging
 import os.path as osp
 from typing import Optional
 
@@ -66,12 +67,15 @@ def build_generator(cfg: TrainConfig, rng: jax.Array, example_hw=None):
     hw = example_hw or cfg.input_hw
     x = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
     if cfg.model == "DeepLab":
-        model = DeeplabMulti(num_classes=cfg.num_classes, dtype=dtype)
+        model = DeeplabMulti(
+            num_classes=cfg.num_classes, dtype=dtype, bn_mode=cfg.bn_mode
+        )
     elif cfg.model == "DeeplabVGG":
+        # The VGG-16 backbone has no BN (torchvision vgg16, reference
+        # model/deeplab_vgg.py) — bn_mode is a no-op there.
         model = _VGGAsMulti(num_classes=cfg.num_classes, dtype=dtype)
     else:
         raise NotImplementedError(f"model {cfg.model!r}")
-    variables = jax.eval_shape(lambda: model.init(rng, x))
     variables = model.init(rng, x)
     return model, variables
 
@@ -83,8 +87,17 @@ def restore_generator(cfg: TrainConfig, variables):
     prefixes, skip layer5 when num_classes == 19 (reference :207-215), merge
     the rest over the initialized tree.
     """
-    if not cfg.restore_from or not osp.exists(cfg.restore_from):
+    if not cfg.restore_from:
         return variables, False
+    if not osp.exists(cfg.restore_from):
+        # The reference crashes on a bad path (torch.load inside
+        # train_gta2cityscapes_multi.py:202-205); silently training from
+        # random init would burn a 150k-step run, so crash loudly too.
+        raise FileNotFoundError(
+            "--restore-from checkpoint not found: "
+            f"{osp.abspath(cfg.restore_from)!r} (pass --restore-from '' to "
+            "train from random init)"
+        )
     sd = pth_interop.load_torch_state_dict(cfg.restore_from)
     if cfg.model == "DeepLab":
         partial = pth_interop.resnet_state_dict_to_variables(
@@ -94,12 +107,20 @@ def restore_generator(cfg: TrainConfig, variables):
         )
         # Drop keys for head layers missing from the checkpoint gracefully:
         # merge_variables only touches present keys.
-        return pth_interop.merge_variables(variables, partial), True
-    if cfg.model == "DeeplabVGG":
-        partial = pth_interop.vgg_state_dict_to_variables(sd)
-        wrapped = {"params": {"vgg": partial["params"]}}
-        return pth_interop.merge_variables(variables, wrapped), True
-    return variables, False
+    elif cfg.model == "DeeplabVGG":
+        partial = {
+            "params": {
+                "vgg": pth_interop.vgg_state_dict_to_variables(sd)["params"]
+            }
+        }
+    else:
+        return variables, False
+    n_merged = len(jax.tree_util.tree_leaves(partial))
+    n_total = len(jax.tree_util.tree_leaves(variables))
+    logging.getLogger(__name__).info(
+        "restored %d/%d arrays from %s", n_merged, n_total, cfg.restore_from
+    )
+    return pth_interop.merge_variables(variables, partial), True
 
 
 def build_train_state(

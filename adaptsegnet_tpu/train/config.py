@@ -72,6 +72,16 @@ class TrainConfig:
     # :92-93,189 `device = torch.device('cpu' if args.cpu else 'cuda')`).
     cpu: bool = False
 
+    # Backbone BN dynamics. 'frozen' (default): normalize with the stored
+    # running stats — checkpoint-faithful and BN-foldable (fast path; what
+    # every released-checkpoint recipe needs at eval). 'batch': the
+    # reference's literal train() dynamics — normalization by BATCH
+    # statistics with frozen affine, running stats updating with torch
+    # momentum 0.1 (train_gta2cityscapes_multi.py:222,
+    # model/deeplab_multi.py:130-132). Use for bit-faithful from-scratch
+    # training parity; at batch 1 the statistics are per-image.
+    bn_mode: str = "frozen"
+
     # TPU-native extras (no reference counterpart).
     num_devices: int = 0          # 0 = all local devices (data-parallel mesh)
     profile_dir: str = ""         # jax.profiler trace of a few steps
@@ -159,6 +169,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "warper", d.warper, "Enable the flow-field Warper.")
     p.add_argument("--warper-norm", type=str, default=d.warper_norm,
                    help="Warper norm layer: Batch / Instance / Spectral")
+    p.add_argument("--bn-mode", type=str, default=d.bn_mode,
+                   choices=("frozen", "batch"),
+                   help="backbone BN: frozen running stats (default) or the "
+                        "reference's train-mode batch statistics")
     p.add_argument("--cpu", action="store_true", default=d.cpu,
                    help="choose to use cpu device.")
     p.add_argument("--num-devices", type=int, default=d.num_devices)

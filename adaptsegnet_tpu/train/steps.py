@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from adaptsegnet_tpu.ops import cross_entropy_2d, gan_loss, upsample_logits
+from adaptsegnet_tpu.ops.resize import upsample_softmax_s2d
 from adaptsegnet_tpu.ops.pallas.upsample_warp import upsample_warp
 from adaptsegnet_tpu.train.state import TrainState
 
@@ -62,8 +63,8 @@ def _forward_warper(warper_module, wstate, images):
 
 
 def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
-                 planar=False):
-    """Segmenter forward -> (pred1_up, pred2_up) at input resolution.
+                 planar=False, mutable_stats=False):
+    """Segmenter forward -> (pred1_up, pred2_up, batch_stats').
 
     bf16 models get the fast in-dtype resize (the exact f32 interpolation
     only matters for bit-parity eval; in training it costs real time in both
@@ -75,15 +76,26 @@ def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
     warp's scatter-add backward alone cost ~57 ms/step at (512, 1024) on
     v5e. Same math as warp_with_flow(upsample_logits(...)), summed in a
     different order.
+
+    `mutable_stats` (bn_mode='batch' models) collects the running-stat
+    updates of the reference's train-mode BN; otherwise batch_stats pass
+    through unchanged.
     """
     exact = getattr(model, "dtype", jnp.float32) == jnp.float32
-    pred1, pred2 = model.apply(
-        {"params": params, "batch_stats": batch_stats}, images
-    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    if mutable_stats:
+        (pred1, pred2), mut = model.apply(
+            variables, images, mutable=["batch_stats"]
+        )
+        batch_stats = mut["batch_stats"]
+    else:
+        pred1, pred2 = model.apply(variables, images)
     pred1_up = upsample_logits(pred1, input_hw, exact=exact)
     if flow is None:
-        return pred1_up, upsample_logits(pred2, input_hw, exact=exact)
-    return pred1_up, upsample_warp(pred2, flow, input_hw, planar=planar)
+        pred2_up = upsample_logits(pred2, input_hw, exact=exact)
+    else:
+        pred2_up = upsample_warp(pred2, flow, input_hw, planar=planar)
+    return pred1_up, pred2_up, (pred1, pred2), batch_stats
 
 
 def make_source_only_step(
@@ -99,12 +111,13 @@ def make_source_only_step(
     Returns (new_state, metrics{loss_seg2}).
     """
     planar = bool(getattr(warper_module, "planar_flow", False))
+    bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
 
     def step(state: TrainState, batch):
         gstate = state.generator
 
         def micro(carry, mb):
-            grads_acc, loss_acc, wstats = carry
+            grads_acc, loss_acc, wstats, bstats = carry
             flow = None
             if warper_module is not None:
                 flow, wstats = _forward_warper(
@@ -113,31 +126,38 @@ def make_source_only_step(
                 )
 
             def loss_fn(params):
-                _, pred2 = _seg_forward(
-                    model, params, gstate.batch_stats, mb["images"], input_hw,
-                    flow=flow, planar=planar,
+                _, pred2, _, new_bstats = _seg_forward(
+                    model, params, bstats, mb["images"], input_hw,
+                    flow=flow, planar=planar, mutable_stats=bn_batch,
                 )
-                return cross_entropy_2d(pred2, mb["labels"])
+                return cross_entropy_2d(pred2, mb["labels"]), new_bstats
 
-            loss, grads = jax.value_and_grad(loss_fn)(gstate.params)
+            (loss, bstats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(gstate.params)
             grads = jax.tree.map(lambda g: g / iter_size, grads)
             return (_tree_add(grads_acc, grads), loss_acc + loss / iter_size,
-                    wstats), None
+                    wstats, bstats), None
 
         init = (
             _tree_zeros_like(gstate.params),
             jnp.zeros((), jnp.float32),
             state.warper.stats if state.warper is not None else None,
+            gstate.batch_stats,
         )
         if iter_size == 1:
             # No accumulation pass: saves a zeros-init + whole-tree add
             # (~2.4 ms/step measured on the profiler as copy_add_fusion).
             mb = jax.tree.map(lambda x: x[0], batch)
-            (grads, loss_seg2, wstats), _ = micro(init, mb)
+            (grads, loss_seg2, wstats, bstats), _ = micro(init, mb)
         else:
-            (grads, loss_seg2, wstats), _ = jax.lax.scan(micro, init, batch)
+            (grads, loss_seg2, wstats, bstats), _ = jax.lax.scan(
+                micro, init, batch
+            )
 
         new_g = gstate.apply_gradients(grads)
+        if bn_batch:
+            new_g = new_g.replace(batch_stats=bstats)
         new_warper = (
             state.warper.replace(stats=wstats)
             if state.warper is not None
@@ -176,6 +196,7 @@ def make_adversarial_step(
     criterion = gan_loss(gan)
     multi = level == "multi-level"
     planar = bool(getattr(warper_module, "planar_flow", False))
+    bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
 
@@ -186,7 +207,7 @@ def make_adversarial_step(
         gstate = state.generator
 
         def micro(carry, mb):
-            (g_acc, d1_acc, d2_acc, m_acc, wstats) = carry
+            (g_acc, d1_acc, d2_acc, m_acc, wstats, bstats) = carry
 
             flow = None
             if warper_module is not None and not multi:
@@ -198,13 +219,16 @@ def make_adversarial_step(
                 )
 
             def g_loss_fn(params):
-                p1_s, p2_s = _seg_forward(
-                    model, params, gstate.batch_stats, mb["images"], input_hw,
-                    flow=flow, planar=planar,
+                # bn_mode='batch': running stats update source-then-target,
+                # the reference's forward order (:399-421, :595-631).
+                p1_s, p2_s, raw_s, bstats1 = _seg_forward(
+                    model, params, bstats, mb["images"], input_hw,
+                    flow=flow, planar=planar, mutable_stats=bn_batch,
                 )
-                p1_t, p2_t = _seg_forward(
-                    model, params, gstate.batch_stats, mb["target_images"],
+                p1_t, p2_t, raw_t, bstats2 = _seg_forward(
+                    model, params, bstats1, mb["target_images"],
                     input_hw, flow=flow, planar=planar,
+                    mutable_stats=bn_batch,
                 )
 
                 loss_seg2 = cross_entropy_2d(p2_s, mb["labels"])
@@ -215,32 +239,52 @@ def make_adversarial_step(
                 )
                 seg_loss = loss_seg2 + lambda_seg * loss_seg1
 
-                sm2_t = jax.nn.softmax(p2_t, axis=-1)
+                # Discriminator inputs: softmax of the upsampled logits
+                # (reference :423). When the main head is NOT warped, emit
+                # them directly in stride-2 parity-phase (blocked) form —
+                # the D's 4x4/s2 conv1 then runs shuffle-free
+                # (ops/resize.upsample_softmax_s2d + conv4x4_s2d_phases;
+                # the space-to-depth relayout cost ~7.6 ms/step over the
+                # six D applications). Warped main heads (single-level
+                # warper-on) keep the dense-softmax path.
+                if flow is None and getattr(
+                    discriminator, "supports_s2d_phases", False
+                ):
+                    sm_of = lambda raw: upsample_softmax_s2d(raw, input_hw)
+                    sm2_t = sm_of(raw_t[1])
+                    sm2_s = sm_of(raw_s[1])
+                    sm1_t = sm_of(raw_t[0]) if multi else None
+                    sm1_s = sm_of(raw_s[0]) if multi else None
+                else:
+                    sm2_t = jax.nn.softmax(p2_t, axis=-1)
+                    sm2_s = jax.nn.softmax(p2_s, axis=-1)
+                    sm1_t = jax.nn.softmax(p1_t, axis=-1) if multi else None
+                    sm1_s = jax.nn.softmax(p1_s, axis=-1) if multi else None
+
                 # G tries to make target preds look source-like (label 0);
                 # D params are constants here == requires_grad=False freeze.
                 loss_adv2 = criterion(
                     d_apply(state.d2.params, sm2_t), SOURCE_LABEL
                 )
                 if multi:
-                    sm1_t = jax.nn.softmax(p1_t, axis=-1)
                     loss_adv1 = criterion(
                         d_apply(state.d1.params, sm1_t), SOURCE_LABEL
                     )
                 else:
-                    sm1_t = None
                     loss_adv1 = jnp.zeros(())
                 adv_loss = lambda_adv1 * loss_adv1 + lambda_adv2 * loss_adv2
                 total = seg_loss + adv_loss
 
                 aux = {
-                    "sm1_s": jax.nn.softmax(p1_s, axis=-1) if multi else None,
-                    "sm2_s": jax.nn.softmax(p2_s, axis=-1),
+                    "sm1_s": sm1_s,
+                    "sm2_s": sm2_s,
                     "sm1_t": sm1_t,
                     "sm2_t": sm2_t,
                     "loss_seg1": loss_seg1,
                     "loss_seg2": loss_seg2,
                     "loss_adv_target1": loss_adv1,
                     "loss_adv_target2": loss_adv2,
+                    "bstats": bstats2,
                 }
                 return total, aux
 
@@ -282,6 +326,7 @@ def make_adversarial_step(
                 _tree_add(d2_acc, scale(d2_grads)),
                 _tree_add(m_acc, metrics),
                 wstats,
+                aux["bstats"],
             )
             return carry, None
 
@@ -298,18 +343,24 @@ def make_adversarial_step(
             },
             state.warper.stats if (warper_module is not None and not multi)
             else None,
+            gstate.batch_stats,
         )
         if iter_size == 1:
             mb = jax.tree.map(lambda x: x[0], batch)
-            (g_grads, d1_grads, d2_grads, metrics, wstats), _ = micro(init, mb)
+            (g_grads, d1_grads, d2_grads, metrics, wstats, bstats), _ = micro(
+                init, mb
+            )
         else:
-            (g_grads, d1_grads, d2_grads, metrics, wstats), _ = jax.lax.scan(
-                micro, init, batch
+            (g_grads, d1_grads, d2_grads, metrics, wstats, bstats), _ = (
+                jax.lax.scan(micro, init, batch)
             )
 
+        new_g = gstate.apply_gradients(g_grads)
+        if bn_batch:
+            new_g = new_g.replace(batch_stats=bstats)
         new_state = state.replace(
             step=state.step + 1,
-            generator=gstate.apply_gradients(g_grads),
+            generator=new_g,
             d1=state.d1.apply_gradients(d1_grads) if multi else state.d1,
             d2=state.d2.apply_gradients(d2_grads),
             warper=(

@@ -79,10 +79,13 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             return None
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype")
-            else x,
-            state_like,
-        )
+        def to_abstract(x):
+            if not hasattr(x, "dtype"):
+                return x
+            # Carry the sharding of the live state so orbax lays restored
+            # arrays out on the mesh directly (no unsharded round-trip).
+            sharding = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+        abstract = jax.tree.map(to_abstract, state_like)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))

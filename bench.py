@@ -88,7 +88,7 @@ def bench_train(dtype: str, iters: int, batch: int) -> float:
     hw = (512, 1024)
     cfg = TrainConfig(
         source_only=False, level="multi-level", warper=False,
-        compute_dtype=dtype,
+        compute_dtype=dtype, restore_from="",
     )
     state, modules = build_train_state(cfg, example_hw=hw)
     step_fn = make_adversarial_step(
@@ -125,7 +125,8 @@ def bench_source_only(dtype: str, iters: int, batch: int,
     from adaptsegnet_tpu.train.steps import make_source_only_step
 
     hw = (512, 1024)
-    cfg = TrainConfig(source_only=True, warper=warper, compute_dtype=dtype)
+    cfg = TrainConfig(source_only=True, warper=warper, compute_dtype=dtype,
+                      restore_from="")
     state, modules = build_train_state(cfg, example_hw=hw)
     step_fn = make_source_only_step(
         modules["model"],

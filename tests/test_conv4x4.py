@@ -85,3 +85,82 @@ def test_grad_no_bias(rng):
                       argnums=(0, 1))(x, k)
     assert dx.shape == x.shape and dk.shape == k.shape
     assert np.isfinite(np.asarray(dx)).all()
+
+
+def _phases_of(x):
+    """Reference parity-phase split: phase_rs[u, v] = pad1(x)[2u+r, 2v+s]."""
+    n, h, w, c = x.shape
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = []
+    for r in (0, 1):
+        for s in (0, 1):
+            out.append(jnp.asarray(xp[:, r::2, s::2]))
+    return tuple(out)
+
+
+def test_s2d_phases_matches_dense(rng):
+    from adaptsegnet_tpu.ops.conv4x4 import conv4x4_s2d_phases
+
+    x = rng.standard_normal((2, 16, 24, 19), dtype=np.float32)
+    k = (rng.standard_normal((4, 4, 19, 8)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    dense = np.asarray(conv4x4_stride2(jnp.asarray(x), jnp.asarray(k),
+                                       jnp.asarray(b)))
+    phased = np.asarray(conv4x4_s2d_phases(_phases_of(x), jnp.asarray(k),
+                                           jnp.asarray(b)))
+    np.testing.assert_allclose(phased, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_softmax_s2d_matches_composition(rng):
+    """Blocked producer == s2d(pad(softmax(upsample(x)))) split in channel
+    groups (pad positions exactly zero)."""
+    from adaptsegnet_tpu.ops.resize import (
+        upsample_logits, upsample_softmax_s2d,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 19), dtype=np.float32))
+    out_hw = (32, 64)
+    sm = np.asarray(jax.nn.softmax(upsample_logits(x, out_hw), axis=-1))
+    want = _phases_of(sm)
+    got = upsample_softmax_s2d(x, out_hw)
+    for rs in range(4):
+        np.testing.assert_allclose(np.asarray(got[rs]), np.asarray(want[rs]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_phase_input_matches_dense(rng):
+    """FCDiscriminator(tuple) == FCDiscriminator(array): same params, same
+    output, same input gradients routed back through the phases."""
+    from adaptsegnet_tpu.models import FCDiscriminator
+
+    x = rng.standard_normal((1, 32, 48, 19), dtype=np.float32)
+    d = FCDiscriminator(num_classes=19, ndf=8)
+    v = d.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    dense = d.apply(v, jnp.asarray(x))
+    phased = d.apply(v, _phases_of(x))
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+    gd = jax.grad(lambda p: jnp.sum(d.apply({"params": p}, jnp.asarray(x))))(
+        v["params"])
+    gp = jax.grad(lambda p: jnp.sum(d.apply({"params": p}, _phases_of(x))))(
+        v["params"])
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_phase_init_matches_dense_layout(rng):
+    """init() from a tuple input must create the identical param tree
+    (paths AND shapes) as from an array input — checkpoint compatibility."""
+    from adaptsegnet_tpu.models import FCDiscriminator
+
+    d = FCDiscriminator(num_classes=19, ndf=8)
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 19), dtype=np.float32))
+    va = d.init(jax.random.PRNGKey(0), x)
+    vp = d.init(jax.random.PRNGKey(0), _phases_of(np.asarray(x)))
+    assert jax.tree.structure(va) == jax.tree.structure(vp)
+    for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vp)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -177,3 +177,19 @@ def test_evaluator_ragged_tail_keeps_prefetch(env, tmp_path, monkeypatch):
     written = ev.run(variables, ds, batch_size=2)
     assert calls == [2]  # prefetch engaged for the 2 full batches
     assert len(written) == 5  # all 5 images written incl. the ragged one
+
+
+def test_missing_restore_from_fails_loudly(env, tmp_path):
+    """A typo'd --restore-from path must crash (like the reference's
+    torch.load, train_gta2cityscapes_multi.py:202-205), not silently train
+    from random init. Empty string means intentional from-scratch."""
+    from adaptsegnet_tpu.train.build import build_train_state
+
+    cfg = _cfg(env, tmp_path, source_only=True,
+               restore_from=str(tmp_path / "no_such_ckpt.pth"))
+    with pytest.raises(FileNotFoundError, match="no_such_ckpt"):
+        build_train_state(cfg)
+    # restore_from='' still builds (random init path).
+    cfg2 = _cfg(env, tmp_path, source_only=True, restore_from="")
+    state, _ = build_train_state(cfg2)
+    assert int(state.step) == 0

@@ -70,3 +70,24 @@ def test_grad_all_ties(rng):
     (dx,) = vjp(jnp.asarray(g))
     np.testing.assert_allclose(np.asarray(y), ref_y)
     np.testing.assert_allclose(np.asarray(dx), ref_dx, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("h,w", [(11, 16), (12, 15), (9, 13)])
+def test_pool2x2_grad_odd_dims(rng, h, w):
+    """Floor-mode 2x2 pooling on odd H/W: the trailing row/col is never
+    read, so its gradient is zero (torch semantics); the parity-block
+    backward must not trace-fail on odd shapes (advisor r2)."""
+    from adaptsegnet_tpu.models.layers import max_pool_2x2_s2
+
+    x = np.maximum(rng.standard_normal((2, h, w, 5), dtype=np.float32), 0.0)
+    g = rng.standard_normal((2, h // 2, w // 2, 5)).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    ty = F.max_pool2d(tx, 2, stride=2)
+    ty.backward(torch.from_numpy(np.transpose(g, (0, 3, 1, 2))))
+    y, vjp = jax.vjp(max_pool_2x2_s2, jnp.asarray(x))
+    (dx,) = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.transpose(ty.detach().numpy(), (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(dx),
+                               np.transpose(tx.grad.numpy(), (0, 2, 3, 1)),
+                               rtol=1e-6, atol=1e-6)

@@ -71,7 +71,9 @@ def _randomize_state_dict(module, seed):
         else:
             sd[k] = torch.randn(v.shape, generator=g) * 0.02
     module.load_state_dict(sd)
-    return {k: v.numpy() for k, v in module.state_dict().items()}
+    # .copy(): .numpy() VIEWS the live buffers — a later train-mode forward
+    # updates running stats in place and would silently rewrite this dict.
+    return {k: v.numpy().copy() for k, v in module.state_dict().items()}
 
 
 def _max_abs(a, b):
@@ -217,3 +219,143 @@ def test_vgg_classifier_quirk_vs_reference():
 
     d = _max_abs(out, r)
     assert d < 1e-5, d
+
+
+def test_deeplab_multi_train_mode_bn_vs_reference():
+    """bn_mode='batch' == the reference's literal training dynamics:
+    model.train() normalizes by BATCH statistics with frozen affine while
+    running stats update with momentum 0.1
+    (train_gta2cityscapes_multi.py:222, model/deeplab_multi.py:130-132).
+    Checks forward logits, the running-stat update, and conv-kernel
+    gradients against the reference module itself."""
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    torch.manual_seed(3)
+    ref = RefDeeplabMulti(num_classes=19).train()
+    sd = _randomize_state_dict(ref, seed=13)
+    x = np.random.default_rng(3).standard_normal((2, H, W, 3)).astype(np.float32)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    r1, r2 = ref(tx, (W, H))
+    # Scalar loss exercising the train-mode BN backward (grads flow through
+    # the batch statistics; the frozen affine stays grad-free).
+    (r2.mean() + r1.mean()).backward()
+    ref_g_conv1 = ref.conv1.weight.grad.numpy()
+    ref_g_l6 = ref.layer6.conv2d_list[0].weight.grad.numpy()
+    sd_after = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = DeeplabMulti(num_classes=19, bn_mode="batch")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, H, W, 3))
+    )
+    variables = pth_interop.merge_variables(
+        variables, pth_interop.resnet_state_dict_to_variables(sd)
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(params):
+        (p1, p2), mut = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x),
+            mutable=["batch_stats"],
+        )
+        p1 = upsample_logits(p1, (H, W))
+        p2 = upsample_logits(p2, (H, W))
+        return jnp.mean(p2) + jnp.mean(p1), (p1, p2, mut["batch_stats"])
+
+    (_, (p1, p2, new_stats)), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p)
+    )(params)
+
+    # Batch-stat normalization is chaotic under the random N(0, 0.02)
+    # weights: a per-layer bisection (torch hooks vs flax intermediates)
+    # measured the SAME implementation drifting 5e-5 (layer1) -> 2e-4
+    # (layer2) -> 1.3e-2 (layer3, 23 blocks) -> 1.6e-2 (layer4) in f32 with
+    # no single-layer jump — i.e. pure f32 amplification through ~100
+    # data-dependent rsqrt(var)s, not a semantic difference. So the
+    # full-network forward gets a relative bound; the TIGHT (1e-6) check of
+    # the BN train dynamics themselves is test_layers.py's single-layer
+    # parity vs torch.nn.BatchNorm2d.train().
+    r1n = r1.detach().permute(0, 2, 3, 1).numpy()
+    r2n = r2.detach().permute(0, 2, 3, 1).numpy()
+    d1 = _max_abs(p1, r1n) / (np.abs(r1n).max() + 1e-12)
+    d2 = _max_abs(p2, r2n) / (np.abs(r2n).max() + 1e-12)
+    assert d1 < 5e-3 and d2 < 5e-3, (d1, d2)
+
+    # Running stats updated like torch (momentum 0.1, unbiased batch var).
+    for tk, jk in [
+        ("bn1.running_mean", ("bn1", "bn", "mean")),
+        ("bn1.running_var", ("bn1", "bn", "var")),
+        ("layer3.5.bn2.running_mean",
+         ("layer3_block5", "bn2", "bn", "mean")),
+    ]:
+        node = new_stats["backbone"]
+        for part in jk:
+            node = node[part]
+        dm = _max_abs(node, sd_after[tk])
+        assert dm < 1e-4, (tk, dm)
+
+    # Gradient parity: stem conv (through 104 batch-stat BNs) + an ASPP
+    # branch. torch OIHW -> HWIO. The stem gradient is intrinsically
+    # ill-conditioned in f32 here: torch's OWN f32 backward differs from
+    # its f64 backward by 6.3% relative on this exact setup (measured),
+    # because the reverse pass re-amplifies through every data-dependent
+    # rsqrt(var). We only require agreement with torch-f32 within that
+    # same conditioning envelope; the tight (1e-6) backward-semantics
+    # check is test_layers.py's single-layer parity.
+    g_conv1 = np.transpose(ref_g_conv1, (2, 3, 1, 0))
+    dg = _max_abs(grads["backbone"]["conv1"]["conv"]["kernel"], g_conv1)
+    scale = np.abs(g_conv1).max() + 1e-12
+    assert dg / scale < 0.15, (dg, scale)
+    g_l6 = np.transpose(ref_g_l6, (2, 3, 1, 0))
+    dg6 = _max_abs(grads["layer6"]["branch0"]["conv"]["kernel"], g_l6)
+    assert dg6 / (np.abs(g_l6).max() + 1e-12) < 5e-3, dg6
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_PARITY"),
+    reason="full-protocol 512x1024 parity is slow (~10 min CPU); "
+           "opt in with RUN_SLOW_PARITY=1",
+)
+def test_full_protocol_mask_parity_512x1024():
+    """The real eval protocol end-to-end vs the reference's own module:
+    f32 forward at 512x1024, align-corners upsample to 1024x2048, argmax —
+    asserting MASK EQUALITY (the quantity that determines mIoU), not just
+    logit closeness at a small size (reference
+    evaluate_cityscapes.py:150-169). Runtime: ~6-7 min on this 1-core CPU
+    box (dominated by the torch f32 forward + the XLA compile; cached
+    compiles cut the JAX side to seconds)."""
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    Hf, Wf = 512, 1024
+    torch.manual_seed(4)
+    ref = RefDeeplabMulti(num_classes=19).eval()
+    sd = _randomize_state_dict(ref, seed=14)
+    x = np.random.default_rng(4).standard_normal(
+        (1, Hf, Wf, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        _, r2 = ref(torch.from_numpy(x).permute(0, 3, 1, 2), (2048, 1024))
+    ref_mask = r2.permute(0, 2, 3, 1).numpy().argmax(-1).astype(np.uint8)
+
+    model = DeeplabMulti(num_classes=19)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(4), jnp.zeros((1, Hf, Wf, 3))
+    )
+    variables = pth_interop.merge_variables(
+        variables, pth_interop.resnet_state_dict_to_variables(sd)
+    )
+
+    @jax.jit
+    def eval_fn(variables, images):
+        _, p2 = model.apply(variables, images)
+        up = upsample_logits(p2, (1024, 2048), exact=True)
+        return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+    mask = np.asarray(eval_fn(variables, jnp.asarray(x)))
+    mismatch = int((mask != ref_mask).sum())
+    total = mask.size
+    # Bitwise-identical argmax is not guaranteed across BLAS/MXU summation
+    # orders when two logits tie to within float rounding; demand parity on
+    # >= 99.99% of pixels (ties flip only where logits are ~equal, which
+    # cannot move mIoU at the reported 0.1 precision).
+    assert mismatch / total < 1e-4, (mismatch, total)
