@@ -432,6 +432,15 @@ def conv_bn_folded(
         from adaptsegnet_tpu.ops.conv3x3 import conv7x7_s2
 
         y = conv7x7_s2(x, w_folded, f32_exact)
+    elif kernel_size == 1 and stride == 1 and dtype == jnp.bfloat16:
+        # 1x1 channel matmul, lowered explicitly so the activation layout
+        # stays plain next to the Pallas 3x3 kernels (ops/conv1x1.py —
+        # XLA's 1x1 conv emitter went 2.5-7.3 ms/block when the Pallas
+        # boundary changed its preferred layouts). f32 keeps the
+        # HIGHEST-precision conv path.
+        from adaptsegnet_tpu.ops.conv1x1 import conv1x1_s1
+
+        y = conv1x1_s1(x, w_folded)
     else:
         y = jax.lax.conv_general_dilated(
             x, w_folded,

@@ -25,6 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.pallas import conv3x3_dil
+
 
 def _prec(x_dtype, f32_exact: bool):
     return jax.lax.Precision.HIGHEST if (
@@ -32,16 +34,29 @@ def _prec(x_dtype, f32_exact: bool):
     ) else None
 
 
-def _fwd_conv(x, k, dilation, f32_exact):
+def _fwd_conv(x, k, dilation, f32_exact, use_pallas=False):
     # NOTE (measured, don't repeat): replacing the dilated conv with nine
-    # pad-slice shifted dot_generals wins STANDALONE (2.4-2.9 -> ~1.5 ms at
-    # the layer3/4 shapes) but loses IN-STEP. Both variants were tried:
-    # fwd+dgrad shifted -> multi-level step 64 -> 73 ms; fwd-only shifted
-    # (d>=4, bf16) -> eval 6.11 -> 5.97 ms/img but train 62.8 -> 65.9 ms.
-    # Inside the fused program XLA overlaps/fuses its native conv with the
-    # BN-folded epilogues and neighboring ops, which the slice+dot chain
-    # blocks. Only in-step numbers decide here.
+    # pad-slice shifted dot_generals IN XLA wins STANDALONE (2.4-2.9 ->
+    # ~1.5 ms at the layer3/4 shapes) but loses IN-STEP. Both variants were
+    # tried: fwd+dgrad shifted -> multi-level step 64 -> 73 ms; fwd-only
+    # shifted (d>=4, bf16) -> eval 6.11 -> 5.97 ms/img but train 62.8 ->
+    # 65.9 ms. Inside the fused program XLA overlaps/fuses its native conv
+    # with the BN-folded epilogues and neighboring ops, which the
+    # slice+dot chain blocks. Only in-step numbers decide here.
+    #
+    # The PALLAS shifted-matmul kernel (ops/pallas/conv3x3_dil.py) is a
+    # different animal: the shifts happen in VMEM (no HBM shift copies),
+    # and a device-loop profile pins it at ~98% of the MXU roofline
+    # (50 us vs 49 theoretical at layer3's C=256 d=2; XLA's conv: 64 us
+    # standalone but 250-380 us inside the fused TRAIN step). It is used
+    # ONLY on the VJP path (use_pallas below, set by the custom-vjp fwd
+    # rule): in the fwd-only EVAL graph XLA's conv emitter fuses with the
+    # BN epilogues and wins (eval measured 221 -> 180 img/s when the
+    # Pallas fwd was allowed there).
     d = dilation
+    cout = k.shape[-1]
+    if use_pallas and conv3x3_dil.supported(x, cout, d):
+        return conv3x3_dil.conv3x3_dil_mxu(x, k, d)
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1),
         padding=((d, d), (d, d)),
@@ -62,7 +77,8 @@ def conv3x3_s1(x: jnp.ndarray, k: jnp.ndarray, dilation: int = 1,
 
 
 def _conv3x3_fwd(x, k, dilation, f32_exact):
-    return _fwd_conv(x, k, dilation, f32_exact), (x, k)
+    # VJP path = the train step: Pallas lowering where supported.
+    return _fwd_conv(x, k, dilation, f32_exact, use_pallas=True), (x, k)
 
 
 def _conv3x3_bwd(dilation, f32_exact, res, dy):
@@ -72,12 +88,16 @@ def _conv3x3_bwd(dilation, f32_exact, res, dy):
     cout = k.shape[-1]
     prec = _prec(x.dtype, f32_exact)
 
-    # dgrad: same-shape conv of dy with the flipped, io-swapped kernel.
+    # dgrad: same-shape conv of dy with the flipped, io-swapped kernel —
+    # which means the roofline Pallas lowering serves it too.
     kf = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = jax.lax.conv_general_dilated(
-        dy, kf, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
-    ).astype(x.dtype)
+    if conv3x3_dil.supported(dy, cin, d):
+        dx = conv3x3_dil.conv3x3_dil_mxu(dy, kf, d).astype(x.dtype)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            dy, kf, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+        ).astype(x.dtype)
 
     # wgrad: nine shifted (N*H*W, Cin)^T @ (N*H*W, Cout) dot_generals.
     xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))

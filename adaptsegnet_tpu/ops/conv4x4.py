@@ -80,13 +80,24 @@ def conv4x4_stride2(
     #    shuffle times barely moved (reshape 2.41 -> 2.30 ms) and the pad
     #    itself costs more than it saves (step 59.1 -> 60.0 ms).
     # XLA's transpose engine handles this s2d reshuffle better than any
-    # slice-based alternative tried — EXCEPT for the C=3 image stem (the
-    # Warper encoder's first conv), where the s2d reshape of the RGB-minor
-    # tensor costs ~0.6 ms/step and the conv runs forward-only (the Warper
-    # has no backward in training: flow is constant wrt generator params),
-    # so the row-parity form's weak autodiff transpose never runs.
+    # slice-based XLA alternative tried — EXCEPT for the C=3 image stem
+    # (the Warper encoder's first conv), where the s2d reshape of the
+    # RGB-minor tensor costs ~0.6 ms/step and the conv runs forward-only
+    # (the Warper has no backward in training: flow is constant wrt
+    # generator params), so the row-parity form's weak autodiff transpose
+    # never runs.
+    #
+    # The PALLAS lowering (ops/pallas/conv4x4_s2.py) beats them all where
+    # its gate holds (bf16, lane-aligned channels): the s2d shift happens
+    # in VMEM and all three directions are hand-written MXU kernels — the
+    # XLA losses above were HBM shift copies and weak slice transposes,
+    # neither of which exists inside a kernel.
     if x.shape[-1] <= 4:
         return _fwd_rowparity(x, kernel, bias)
+    from adaptsegnet_tpu.ops.pallas import conv4x4_s2
+
+    if conv4x4_s2.supported(x, kernel.shape[-1]):
+        return conv4x4_s2.conv4x4_s2_mxu(x, kernel, bias)
     return _fwd_impl(x, kernel, bias)
 
 

@@ -1,0 +1,128 @@
+"""Dilated 3x3 stride-1 conv as nine MXU matmuls with VMEM-resident shifts.
+
+The d-dilated 3x3 convs of the DeepLab backbone (layer3 d=2 C=256, layer4
+d=4 C=512 at 64x128 bs-1 feature maps; reference model/deeplab_multi.py:
+59-103 bottlenecks with the stride->dilation surgery) run 4-10x off
+roofline in XLA's conv emitter inside the fused train step — profiled at
+0.77 ms fwd / 2.0 ms dgrad per layer4 conv where the MXU roofline is
+~0.2 ms (38.7 GFLOP at bs1).
+
+The TPU-native lowering: out[r, v] = sum_{dy,dx} x_pad[r + dy*d, v + dx*d]
+@ K[dy, dx] — nine (R*W, C) @ (C, C) matmuls per R-row block, with every
+shifted operand SLICED IN VMEM (the r2 XLA shifted-matmul experiment lost
+in-step precisely because each shift materialized an HBM-round-trip copy;
+see ops/conv3x3.py NOTE). Row halos come from passing the padded input
+twice with block index maps offset by one R-row block: the two slabs
+cover rows [i*R, i*R + 2R) and every dy*d row offset (dy <= 2, 2d <= R)
+is a static in-VMEM slice of that window. Column shifts are static
+sublane slices of the (R, W + 2d, C) slabs.
+
+f32 accumulation in VMEM scratch; bf16 operands on the MXU; output bf16.
+The kernel is used by ops/conv3x3.conv3x3_s1 for both the forward and
+(with the flipped, io-swapped kernel) the dgrad whenever the bf16 +
+channel-aligned conditions hold; wgrad keeps the nine-dot_general form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(s0_ref, s1_ref, k_ref, o_ref, acc_ref, *, d, r, w, cin, cout):
+    """One (1, R, W, C_out) output block.
+
+    s0/s1: (1, R, W+2d, C_in) row slabs at block rows i and i+1 of the
+    padded input — together the rows [i*R, i*R + 2R).
+    k: (9*C_in, C_out), row-blocks ordered (dy, dx).
+    """
+    s0 = s0_ref[0]
+    s1 = s1_ref[0]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        start = dy * d  # row offset of this tap within the [0, 2R) window
+        if start == 0:
+            window = s0
+        elif start >= r:
+            window = s1[start - r : start]
+        else:
+            window = jnp.concatenate([s0[start:], s1[:start]], axis=0)
+        for dx in range(3):
+            tap = window[:, dx * d : dx * d + w, :].reshape(r * w, cin)
+            kblk = k_ref[(3 * dy + dx) * cin : (3 * dy + dx + 1) * cin, :]
+            acc_ref[:] += jnp.dot(
+                tap, kblk, preferred_element_type=jnp.float32
+            )
+    o_ref[0] = acc_ref[:].reshape(r, w, cout).astype(o_ref.dtype)
+
+
+def supported(x: jnp.ndarray, cout: int, dilation: int) -> bool:
+    """Gate: bf16 on the real TPU backend, lane-aligned channels, row
+    blocking divides H. (The f32 parity path keeps the HIGHEST-precision
+    XLA conv; other backends keep XLA.)"""
+    n, h, w, cin = x.shape
+    d = dilation
+    if d not in (2, 4):
+        return False
+    r = 2 * d if 2 * d >= 8 else 8
+    return (
+        x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and cin % 128 == 0
+        and cout % 128 == 0
+        and h % r == 0
+        and h // r >= 2
+    )
+
+
+def conv3x3_dil_mxu(
+    x: jnp.ndarray, k: jnp.ndarray, dilation: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """conv3x3(x, k, stride=1, padding=dilation, dilation=dilation), NHWC.
+
+    Same contract as the XLA lowering in ops/conv3x3._fwd_conv; bf16 in,
+    bf16 out, f32 accumulation. Differentiate via conv3x3_s1 (custom VJP)
+    — this is the raw forward lowering.
+    """
+    n, h, w, cin = x.shape
+    kh, kw, kci, cout = k.shape
+    assert (kh, kw, kci) == (3, 3, cin), (k.shape, x.shape)
+    d = dilation
+    r = 2 * d if 2 * d >= 8 else 8
+    assert h % r == 0 and h // r >= 2, (h, r)
+    wp = w + 2 * d
+    # Rows padded to (i_max + 1 + 1) * r = h + 2r so the second (i+1) row
+    # slab exists for the last block; rows beyond h + 2d are never read.
+    xp = jnp.pad(x, ((0, 0), (d, 2 * r - d), (d, d), (0, 0)))
+    kf = k.reshape(9 * cin, cout)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, d=d, r=r, w=w, cin=cin, cout=cout
+        ),
+        grid=(n, h // r),
+        in_specs=[
+            pl.BlockSpec((1, r, wp, cin), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, wp, cin), lambda i, t: (i, t + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cout), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, w, cout), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((r * w, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * cin * cout,
+            bytes_accessed=2 * n * h * w * (2 * cin + cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, xp, kf)
+    return out

@@ -58,9 +58,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 1024  # output pixels per grid step (fwd / d-x kernels), bf16
-_BLOCK_F32 = 512  # f32 keeps t/vye at ~5 MB each at 1024 -> halve vs the
-#                   16 MB VMEM stack limit (advisor r2; untested headroom)
+_BLOCK = 2048  # output pixels per grid step (fwd / d-x kernels), bf16 —
+#                the (bp, h*C) t/vye intermediates are kept bf16 so this
+#                fits VMEM; fewer, larger grid steps amortize the per-step
+#                overhead that kept the kernel at ~23% of roofline
+_BLOCK_F32 = 512  # f32 keeps t/vye f32 (~5 MB each at 1024) vs the 16 MB
+#                   VMEM stack limit (advisor r2)
 _BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
 
 
@@ -98,10 +101,14 @@ def _axis_weights(i_ref, nl, scale, bp):
     return v, r0, l
 
 
-def _expand_y(vy, e2_ref, cdtype):
-    """(bp, h) -> (bp, h*C) per-lane y-weights via the 0/1 E2 matmul."""
+def _expand_y(vy, e2_ref, cdtype, acc=jnp.float32):
+    """(bp, h) -> (bp, h*C) per-lane y-weights via the 0/1 E2 matmul.
+
+    E2 rows are 0/1, so emitting the bf16 accumulator directly (acc=cdtype
+    on the bf16 path) rounds only the weight itself — and halves the VMEM
+    footprint, which is what lets _BLOCK reach 2048."""
     return jnp.dot(vy.astype(cdtype), e2_ref[:],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=acc)
 
 
 def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
@@ -111,9 +118,11 @@ def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
     hl = e2_ref.shape[0]
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
+    # bf16 keeps the (bp, h*C) intermediates bf16 (t is an MXU f32-
+    # accumulated sum rounded once; the f32 parity path keeps f32).
     t = jnp.dot(vx.astype(cdtype), x_ref[0],
-                preferred_element_type=jnp.float32)  # (bp, h*C)
-    vye = _expand_y(vy, e2_ref, cdtype)
+                preferred_element_type=cdtype)  # (bp, h*C)
+    vye = _expand_y(vy, e2_ref, cdtype, acc=cdtype)
     o_ref[0] = jnp.dot(
         (t * vye).astype(cdtype), s2_ref[:],
         preferred_element_type=jnp.float32,
@@ -128,12 +137,13 @@ def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
     hl = e2_ref.shape[0]
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
-    vye = _expand_y(vy, e2_ref, cdtype)
-    # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU, reshape-free)
+    vye = _expand_y(vy, e2_ref, cdtype, acc=cdtype)
+    # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU, reshape-free;
+    # 0/1 rhs, so the cdtype accumulator is exact up to g's own rounding)
     gexp = jax.lax.dot_general(
         g_ref[0].astype(cdtype), s2_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=cdtype,
     )
     tmat = vye * gexp
 

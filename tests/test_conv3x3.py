@@ -117,3 +117,47 @@ def test_custom_vjp_matches_autodiff_of_native_conv(rng):
     for a, b in zip(gc, gn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,d", [(128, 128, 2), (128, 256, 4)])
+def test_conv3x3_dil_pallas_matches_xla(rng, cin, cout, d):
+    """The Pallas shifted-matmul lowering (interpret mode on CPU) == the
+    XLA dilated conv, at layer3/4-like geometry (H % 2d == 0, lane-aligned
+    channels)."""
+    from adaptsegnet_tpu.ops.pallas.conv3x3_dil import conv3x3_dil_mxu
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05,
+                    jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3_dil_mxu(x, k, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv1x1_forward_and_grads_match_torch(rng):
+    from adaptsegnet_tpu.ops.conv1x1 import conv1x1_s1
+
+    cin, cout = 12, 20
+    x = rng.standard_normal((2, 8, 10, cin), dtype=np.float32)
+    w = rng.standard_normal((1, 1, cin, cout), dtype=np.float32) * 0.1
+    dy = rng.standard_normal((2, 8, 10, cout), dtype=np.float32)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    tw = torch.from_numpy(w.transpose(3, 2, 0, 1)).requires_grad_(True)
+    ty = F.conv2d(tx, tw)
+    ty.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+
+    y, vjp = jax.vjp(conv1x1_s1, jnp.asarray(x), jnp.asarray(w))
+    gx, gw = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(
+        np.asarray(y), ty.detach().permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gw), tw.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-4)

@@ -1,6 +1,7 @@
 """conv4x4_stride2: torch parity + custom-VJP == autodiff."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -164,3 +165,39 @@ def test_discriminator_phase_init_matches_dense_layout(rng):
     for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vp)):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n,h,w,c,cout", [(2, 32, 48, 32, 128),
+                                          (1, 16, 24, 128, 256)])
+def test_conv4x4_s2_pallas_matches_torch(rng, n, h, w, c, cout):
+    """Pallas conv4x4/s2 (interpret mode): fwd + dx + dk + db vs torch."""
+    from adaptsegnet_tpu.ops.pallas.conv4x4_s2 import conv4x4_s2_mxu
+
+    x = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    k = (rng.standard_normal((4, 4, c, cout)) * 0.05).astype(np.float32)
+    b = rng.standard_normal(cout).astype(np.float32)
+    dy = rng.standard_normal((n, h // 2, w // 2, cout)).astype(np.float32)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    tk = torch.from_numpy(k.transpose(3, 2, 0, 1)).requires_grad_(True)
+    tb = torch.from_numpy(b).requires_grad_(True)
+    ty = F.conv2d(tx, tk, tb, stride=2, padding=1)
+    ty.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+
+    y, vjp = jax.vjp(
+        lambda x_, k_, b_: conv4x4_s2_mxu(x_, k_, b_, True),
+        jnp.asarray(x), jnp.asarray(k), jnp.asarray(b),
+    )
+    gx, gk, gb = vjp(jnp.asarray(dy))
+
+    np.testing.assert_allclose(
+        np.asarray(y), ty.detach().permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx), tx.grad.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gk), tk.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), tb.grad.numpy(),
+                               rtol=1e-4, atol=1e-3)
