@@ -16,6 +16,8 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
 import numpy as np
 from flax import linen as nn
 
@@ -146,7 +148,7 @@ class Conv2d(nn.Module):
             param_dtype=jnp.float32,
             # f32 = parity path: force true-f32 MXU passes (TPU DEFAULT
             # multiplies f32 operands in bf16). See conv_bn_folded.
-            precision=(jax.lax.Precision.HIGHEST
+            precision=(F32_PRECISION
                        if self.dtype == jnp.float32 else None),
             name="conv",
         )(x)
@@ -448,7 +450,7 @@ def conv_bn_folded(
             padding=((padding, padding), (padding, padding)),
             rhs_dilation=(dilation, dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=(jax.lax.Precision.HIGHEST if f32_exact else None),
+            precision=(F32_PRECISION if f32_exact else None),
         )
     if bn_mode == "batch":
         return _BNTrainFrozenAffine(features, epsilon=epsilon, name=bn_name)(y)

@@ -20,6 +20,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 
 def pack_aspp_weights(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Stack per-branch HWIO (3,3,C,K) kernels into a (C, B*9*K) matrix.
@@ -46,7 +48,7 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def _prec(dtype):
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    return F32_PRECISION if dtype == jnp.float32 else None
 
 
 def _aspp_fwd_impl(x, kernels, biases, dilations, n_sum):

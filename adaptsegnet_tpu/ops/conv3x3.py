@@ -25,11 +25,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 from adaptsegnet_tpu.ops.pallas import conv3x3_dil
 
 
 def _prec(x_dtype, f32_exact: bool):
-    return jax.lax.Precision.HIGHEST if (
+    return F32_PRECISION if (
         f32_exact and x_dtype == jnp.float32
     ) else None
 
@@ -53,6 +55,14 @@ def _fwd_conv(x, k, dilation, f32_exact, use_pallas=False):
     # rule): in the fwd-only EVAL graph XLA's conv emitter fuses with the
     # BN epilogues and wins (eval measured 221 -> 180 img/s when the
     # Pallas fwd was allowed there).
+    # NOTE (measured, don't repeat): allowing the Pallas kernel (alone or
+    # with the dot 1x1s) into the fwd-only eval graph at batch 8 LOSES
+    # (180.6 -> 160.4 / 175.8 img/s) even though it wins per-op — eval's
+    # whole-graph fusion beats the kernel boundary. The bs8-vs-bs1 eval
+    # gap itself is XLA's dilated emitter running ~30% slower PER IMAGE
+    # at batch 8 (97 -> 127 us/img/conv across layer3's 23 blocks,
+    # per-program xprof compare); use batch 1 per chip and scale via the
+    # data mesh.
     d = dilation
     cout = k.shape[-1]
     if use_pallas and conv3x3_dil.supported(x, cout, d):

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 
 def _s2d(x: jnp.ndarray):
     """pad(1) + space-to-depth(2): (N,H,W,C) -> (N,H/2+1,W/2+1,4C), channel
@@ -51,7 +53,7 @@ def _dot(a, b, f32_exact, transpose_rhs=False):
         preferred_element_type=jnp.float32,
         # f32 inputs keep (multi-pass) f32 MXU precision — parity with XLA's
         # conv lowering; bf16 takes the fast single pass.
-        precision=jax.lax.Precision.HIGHEST if f32_exact else None,
+        precision=F32_PRECISION if f32_exact else None,
     )
 
 

@@ -24,12 +24,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 
 def _dot(a, b, f32_exact):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((3,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if f32_exact else None,
+        precision=F32_PRECISION if f32_exact else None,
     )
 
 

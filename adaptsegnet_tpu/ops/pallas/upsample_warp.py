@@ -101,14 +101,15 @@ def _axis_weights(i_ref, nl, scale, bp):
     return v, r0, l
 
 
-def _expand_y(vy, e2_ref, cdtype, acc=jnp.float32):
+def _expand_y(vy, e2_ref, cdtype, out_dtype=jnp.float32):
     """(bp, h) -> (bp, h*C) per-lane y-weights via the 0/1 E2 matmul.
 
-    E2 rows are 0/1, so emitting the bf16 accumulator directly (acc=cdtype
-    on the bf16 path) rounds only the weight itself — and halves the VMEM
-    footprint, which is what lets _BLOCK reach 2048."""
+    Mosaic requires 32-bit matmul accumulators; the bf16 path converts
+    the result right at the dot (E2 is 0/1, so this rounds only the
+    weight itself), halving the live (bp, h*C) footprint — which is what
+    lets _BLOCK reach 2048."""
     return jnp.dot(vy.astype(cdtype), e2_ref[:],
-                   preferred_element_type=acc)
+                   preferred_element_type=jnp.float32).astype(out_dtype)
 
 
 def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
@@ -121,8 +122,8 @@ def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
     # bf16 keeps the (bp, h*C) intermediates bf16 (t is an MXU f32-
     # accumulated sum rounded once; the f32 parity path keeps f32).
     t = jnp.dot(vx.astype(cdtype), x_ref[0],
-                preferred_element_type=cdtype)  # (bp, h*C)
-    vye = _expand_y(vy, e2_ref, cdtype, acc=cdtype)
+                preferred_element_type=jnp.float32).astype(cdtype)
+    vye = _expand_y(vy, e2_ref, cdtype, out_dtype=cdtype)
     o_ref[0] = jnp.dot(
         (t * vye).astype(cdtype), s2_ref[:],
         preferred_element_type=jnp.float32,
@@ -137,14 +138,14 @@ def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
     hl = e2_ref.shape[0]
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
-    vye = _expand_y(vy, e2_ref, cdtype, acc=cdtype)
+    vye = _expand_y(vy, e2_ref, cdtype, out_dtype=cdtype)
     # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU, reshape-free;
-    # 0/1 rhs, so the cdtype accumulator is exact up to g's own rounding)
+    # 0/1 rhs, so the cdtype result is exact up to g's own rounding)
     gexp = jax.lax.dot_general(
         g_ref[0].astype(cdtype), s2_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=cdtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(cdtype)
     tmat = vye * gexp
 
     @pl.when(tnum == 0)

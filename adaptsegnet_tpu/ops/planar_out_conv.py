@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 
 def conv3x3_planar_out(
     x: jnp.ndarray,
@@ -34,7 +36,7 @@ def conv3x3_planar_out(
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     precision = (
-        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        F32_PRECISION if x.dtype == jnp.float32 else None
     )
     xt = jnp.transpose(x, (0, 3, 1, 2))  # (n, cin, h, w)
     xp = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1)))

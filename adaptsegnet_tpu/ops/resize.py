@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from adaptsegnet_tpu.ops.precision import F32_PRECISION
+
 
 @functools.lru_cache(maxsize=64)
 def _interp_matrix(in_len: int, out_len: int) -> np.ndarray:
@@ -91,7 +93,7 @@ def _separable_resize(
     mw = jnp.asarray(matrix_fn(w, ow))
     if exact:
         y = x.astype(jnp.float32)
-        hp = jax.lax.Precision.HIGHEST
+        hp = F32_PRECISION
         y = jnp.einsum("oh,nhwc->nowc", mh, y, precision=hp)
         y = jnp.einsum("pw,nhwc->nhpc", mw, y, precision=hp)
         y = y.astype(x.dtype)
