@@ -138,3 +138,39 @@ def test_orbax_roundtrip(tmp_path, rng):
     assert int(restored.step) == int(state.step)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --- Profiling (utils/profiling.py) -----------------------------------------
+
+def test_op_stats_parses_trace(tmp_path):
+    """trace() + op_stats() round-trip on the CPU backend: a traced jitted
+    matmul yields parseable framework_op_stats rows (self_us populated,
+    sorted descending). device_only=False because xprof labels CPU-backend
+    rows Host."""
+    from adaptsegnet_tpu.utils.profiling import op_stats, print_op_stats, trace
+
+    @jax.jit
+    def f(a, b):
+        return jnp.tanh(a @ b)
+
+    a = jnp.ones((128, 128), jnp.float32)
+    out = f(a, a)  # compile outside the trace
+    out.block_until_ready()
+    tdir = str(tmp_path / "trace")
+    with trace(tdir):
+        for _ in range(3):
+            out = f(a, a)
+        out.block_until_ready()
+
+    rows = op_stats(tdir, device_only=False)
+    assert rows, "no op rows parsed from the trace"
+    assert all("self_us" in r for r in rows)
+    assert rows == sorted(rows, key=lambda r: -r["self_us"])
+    print_op_stats(rows, top=5, iters=3)  # smoke: formatting doesn't throw
+
+
+def test_op_stats_missing_trace(tmp_path):
+    from adaptsegnet_tpu.utils.profiling import op_stats
+
+    with pytest.raises(FileNotFoundError):
+        op_stats(str(tmp_path / "nope"))
