@@ -5,7 +5,13 @@ d=4 C=512 at 64x128 bs-1 feature maps; reference model/deeplab_multi.py:
 59-103 bottlenecks with the stride->dilation surgery) run 4-10x off
 roofline in XLA's conv emitter inside the fused train step — profiled at
 0.77 ms fwd / 2.0 ms dgrad per layer4 conv where the MXU roofline is
-~0.2 ms (38.7 GFLOP at bs1).
+~0.2 ms (38.7 GFLOP at bs1). d=1 covers layer2's stride-1 bottleneck
+convs (C=128) on the same VJP-only path (layer1 at C=64 stays XLA — the
+gate needs lane-aligned channels). d=1 is OPT-IN via
+ADAPTSEG_PALLAS_CONV3X3_D1=1 until an in-step A/B on the real chip
+decides the default: the r2/r3 lesson is that standalone-winning
+lowerings can lose 10-36 ms once XLA's layout assignment reacts
+(ops/conv3x3.py NOTE), so only `bench.py --train` numbers flip gates.
 
 The TPU-native lowering: out[r, v] = sum_{dy,dx} x_pad[r + dy*d, v + dx*d]
 @ K[dy, dx] — nine (R*W, C) @ (C, C) matmuls per R-row block, with every
@@ -26,6 +32,7 @@ channel-aligned conditions hold; wgrad keeps the nine-dot_general form.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,8 +73,10 @@ def supported(x: jnp.ndarray, cout: int, dilation: int) -> bool:
     XLA conv; other backends keep XLA.)"""
     n, h, w, cin = x.shape
     d = dilation
-    if d not in (2, 4):
+    if d not in (1, 2, 4):
         return False
+    if d == 1 and os.environ.get("ADAPTSEG_PALLAS_CONV3X3_D1", "0") != "1":
+        return False  # pending in-step A/B (see module docstring)
     r = 2 * d if 2 * d >= 8 else 8
     return (
         x.dtype == jnp.bfloat16

@@ -119,7 +119,8 @@ def test_custom_vjp_matches_autodiff_of_native_conv(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("cin,cout,d", [(128, 128, 2), (128, 256, 4)])
+@pytest.mark.parametrize("cin,cout,d", [(128, 128, 1), (128, 128, 2),
+                                        (128, 256, 4)])
 def test_conv3x3_dil_pallas_matches_xla(rng, cin, cout, d):
     """The Pallas shifted-matmul lowering (interpret mode on CPU) == the
     XLA dilated conv, at layer3/4-like geometry (H % 2d == 0, lane-aligned
