@@ -53,6 +53,8 @@ def get_arguments(argv=None):
                         "this many devices (the reference DataParallels "
                         "eval by default, evaluate_cityscapes.py:92,145); "
                         "batch-size must be a multiple. 0 = all devices.")
+    p.add_argument("--cpu", action="store_true",
+                   help="choose to use cpu device.")
     return p.parse_args(argv)
 
 
@@ -117,6 +119,17 @@ def evaluate_checkpoint(args, model, output_index, loader, ckpt_path, save_dir):
 
 def main(argv=None):
     args = get_arguments(argv)
+    if args.cpu:
+        # Reference --cpu (evaluate_cityscapes.py:85,143). Only effective
+        # before first backend use (platform selection is process-wide).
+        jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "--cpu requested but the %s backend is already initialized; "
+                "continuing on it", jax.devices()[0].platform,
+            )
     os.makedirs(args.save, exist_ok=True)
     model, output_index, loader = build_model(args)
 
