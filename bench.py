@@ -77,7 +77,8 @@ def bench_eval(dtype: str, iters: int, batch: int) -> float:
     return batch / sec
 
 
-def bench_train(dtype: str, iters: int, batch: int) -> float:
+def bench_train(dtype: str, iters: int, batch: int,
+                level: str = "multi-level") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -87,12 +88,12 @@ def bench_train(dtype: str, iters: int, batch: int) -> float:
 
     hw = (512, 1024)
     cfg = TrainConfig(
-        source_only=False, level="multi-level", warper=False,
+        source_only=False, level=level, warper=False,
         compute_dtype=dtype, restore_from="",
     )
     state, modules = build_train_state(cfg, example_hw=hw)
     step_fn = make_adversarial_step(
-        modules["model"], modules["discriminator"], level="multi-level",
+        modules["model"], modules["discriminator"], level=level,
         input_hw=hw, iter_size=1, donate=False,
     )
     rng = np.random.default_rng(0)
@@ -183,15 +184,21 @@ def main():
 
     # Default: the full perf story in one JSON line. Headline = best-batch
     # bf16 eval throughput; extras record the f32 bit-parity eval path (the
-    # number that gates released-checkpoint mIoU reproduction) and the fused
-    # multi-level adversarial train step.
+    # number that gates released-checkpoint mIoU reproduction) and one
+    # fused train step per trainer mode (multi-level, single-level,
+    # source-only with and without the warper) so every number the README
+    # quotes is driver-reproducible.
     ips_b1 = bench_eval("bfloat16", args.iters, 1)
     ips_b8 = bench_eval("bfloat16", args.iters, 8)
     ips_f32 = bench_eval("float32", max(args.iters // 3, 5), 1)
-    step_ms = bench_train("bfloat16", max(args.iters // 3, 5), 1) * 1000.0
+    sub_iters = max(args.iters // 3, 5)
+    step_ms = bench_train("bfloat16", sub_iters, 1) * 1000.0
+    sl_ms = bench_train("bfloat16", sub_iters, 1,
+                        level="single-level") * 1000.0
     so_warp_ms = bench_source_only(
-        "bfloat16", max(args.iters // 3, 5), 1, warper=True
+        "bfloat16", sub_iters, 1, warper=True
     ) * 1000.0
+    so_ms = bench_source_only("bfloat16", sub_iters, 1, warper=False) * 1000.0
     best_ips, best_batch = max((ips_b1, 1), (ips_b8, 8))
     print(json.dumps({
         "metric": "DeeplabMulti eval images/sec/chip @512x1024->1024x2048 argmax",
@@ -203,7 +210,9 @@ def main():
             "eval_bf16_bs8_img_per_s": round(ips_b8, 2),
             "eval_f32_parity_bs1_img_per_s": round(ips_f32, 2),
             "train_multilevel_bf16_bs1_ms": round(step_ms, 2),
+            "train_singlelevel_bf16_bs1_ms": round(sl_ms, 2),
             "train_sourceonly_warper_bf16_bs1_ms": round(so_warp_ms, 2),
+            "train_sourceonly_bf16_bs1_ms": round(so_ms, 2),
             "best_batch": best_batch,
         },
     }))
