@@ -51,6 +51,7 @@ models keep bf16 operands).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -65,6 +66,27 @@ _BLOCK = 2048  # output pixels per grid step (fwd / d-x kernels), bf16 —
 _BLOCK_F32 = 512  # f32 keeps t/vye f32 (~5 MB each at 1024) vs the 16 MB
 #                   VMEM stack limit (advisor r2)
 _BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
+
+
+# NOTE (do not retry): y-band windowing of the lo-res row taps does NOT
+# work for this operator. The idea — split output rows into bands and
+# window each band's reachable lo-res rows via the sampler clamp — only
+# shrinks EDGE bands: tanh flow spans +-(H-1)/2 pixels, so a CENTER band
+# reaches the entire image and its window is all hl rows (uniform window
+# = hl => zero savings; non-uniform windows average ~0.75*hl => <=25%
+# FLOP cut at the cost of per-band kernel shapes). Derived and
+# unit-checked 2026-08-18 (win==64 of 64 at the training geometry,
+# hl=64 hh=512 nb=8).
+
+
+def _env_lane_tile() -> bool:
+    """OPT-IN until an in-step A/B on the real chip (ops/conv3x3.py NOTE:
+    standalone wins have lost 10-36 ms in the fused step before —
+    only bench.py --train numbers flip gates): replace _bwd_x_kernel's
+    g-expansion matmul (K=19 -> ~15% MXU utilization, ~0.8 ms effective
+    at 512x1024) with a pltpu.repeat lane tile (VPU). Also pending a
+    Mosaic support check on-chip for lane repeats at C=19."""
+    return os.environ.get("ADAPTSEG_WARP_LANE_TILE", "0") == "1"
 
 
 def _block(cdtype):
@@ -131,7 +153,7 @@ def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
 
 
 def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
-                  *, sy, sx, cdtype):
+                  *, sy, sx, cdtype, lane_tile):
     tnum = pl.program_id(1)
     wl = dx_ref.shape[1]
     bp, c = g_ref.shape[1:]
@@ -139,13 +161,20 @@ def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
     vye = _expand_y(vy, e2_ref, cdtype, out_dtype=cdtype)
-    # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU, reshape-free;
-    # 0/1 rhs, so the cdtype result is exact up to g's own rounding)
-    gexp = jax.lax.dot_general(
-        g_ref[0].astype(cdtype), s2_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cdtype)
+    if lane_tile:
+        # (bp, C) -> (bp, h*C): lane tile on the VPU (g repeats verbatim
+        # per lo-res row group) instead of the K=19 MXU dot below, which
+        # runs at ~19/128 utilization.
+        gexp = pltpu.repeat(g_ref[0].astype(cdtype), hl, axis=1)
+    else:
+        # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU,
+        # reshape-free; 0/1 rhs, so the cdtype result is exact up to g's
+        # own rounding)
+        gexp = jax.lax.dot_general(
+            g_ref[0].astype(cdtype), s2_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdtype)
     tmat = vye * gexp
 
     @pl.when(tnum == 0)
@@ -229,27 +258,27 @@ def _cdtype(dtype):
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _sample_upsampled(x, iy, ix, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sample_upsampled(x, iy, ix, interpret, lane_tile=False):
     """out[n, y, x, c] = bilinear-upsample(x)[n] sampled at (iy, ix).
 
     iy/ix are hi-res pixel coordinates (N, H, W), assumed in-range
     [0, H-1] x [0, W-1] (the warp wrapper's clamp guarantees this).
     """
-    out, _ = _sample_fwd(x, iy, ix, interpret)
+    out, _ = _sample_fwd(x, iy, ix, interpret, lane_tile)
     return out
 
 
-def _sample_fwd(x, iy, ix, interpret):
+def _sample_fwd(x, iy, ix, interpret, lane_tile=False):
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
     bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
-    nb = (p + pad) // bp
+    nt = (p + pad) // bp
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, sy=sy, sx=sx, cdtype=cdtype),
-        grid=(n, nb),
+        grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
@@ -277,14 +306,15 @@ def _sample_fwd(x, iy, ix, interpret):
     return out, (x, iy, ix)
 
 
-def _sample_bwd(interpret, res, g):
+def _sample_bwd(interpret, lane_tile, res, g):
     x, iy, ix = res
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
     gf = g.reshape(n, p, c)
 
-    dx = _bwd_x(iyf, ixf, gf, geo, cdtype, interpret).astype(x.dtype)
+    dx = _bwd_x(iyf, ixf, gf, geo, cdtype, interpret,
+                lane_tile).astype(x.dtype)
 
     bp = _BLOCK_FLOW
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
@@ -325,16 +355,17 @@ def _sample_bwd(interpret, res, g):
     return dx, diy, dix
 
 
-def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret):
-    """Per-batch dx: grid (n, nb); each batch's block accumulates over nb."""
+def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False):
+    """Per-batch dx: grid (n, nt); each batch's block accumulates over nt."""
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
     gp = jnp.pad(gf, ((0, 0), (0, pad), (0, 0))) if pad else gf
-    nb = (p + pad) // bp
+    nt = (p + pad) // bp
     dxf = pl.pallas_call(
-        functools.partial(_bwd_x_kernel, sy=sy, sx=sx, cdtype=cdtype),
-        grid=(n, nb),
+        functools.partial(_bwd_x_kernel, sy=sy, sx=sx, cdtype=cdtype,
+                          lane_tile=lane_tile),
+        grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
@@ -399,6 +430,7 @@ def upsample_warp(
     out_hw: tuple[int, int] | None = None,
     interpret: bool | None = None,
     planar: bool = False,
+    lane_tile: bool | None = None,
 ) -> jnp.ndarray:
     """warp_with_flow(upsample_logits(x, out_hw), flow), fused and exact.
 
@@ -413,6 +445,9 @@ def upsample_warp(
     transpose for d x, hat-derivative contraction for d flow). On other
     backends it falls back to the unfused XLA composition — same math,
     different summation order (float-tolerance equivalent).
+
+    `lane_tile` defaults to the ADAPTSEG_WARP_LANE_TILE opt-in env gate
+    (see _env_lane_tile); pass explicitly in tests.
     """
     if out_hw is None:
         out_hw = (
@@ -428,5 +463,7 @@ def upsample_warp(
             flow = jnp.transpose(flow, (0, 2, 3, 1))
         exact = x.dtype == jnp.float32
         return warp_with_flow(upsample_logits(x, out_hw, exact=exact), flow)
+    if lane_tile is None:
+        lane_tile = _env_lane_tile()
     iy, ix = _coords_from_flow(flow, out_hw, planar=planar)
-    return _sample_upsampled(x, iy, ix, bool(interpret))
+    return _sample_upsampled(x, iy, ix, bool(interpret), bool(lane_tile))

@@ -108,6 +108,28 @@ def test_planar_flow_layout_equivalent(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-6)
 
 
+def test_lane_tile_matches_matmul_expansion(rng):
+    """The opt-in pltpu.repeat g-expansion in the d-x kernel == the S2^T
+    matmul expansion, values and grads (ADAPTSEG_WARP_LANE_TILE gate)."""
+    n, hl, wl, c, hh, wh = 1, 8, 12, 5, 32, 48
+    x = jnp.asarray(_rand(rng, (n, hl, wl, c)))
+    flow = jnp.asarray(_rand(rng, (n, hh, wh, 2), 0.5))
+    g = jnp.asarray(_rand(rng, (n, hh, wh, c)))
+
+    def loss(xj, fj, **kw):
+        return jnp.vdot(upsample_warp(xj, fj, interpret=True, **kw), g)
+
+    ref = upsample_warp(x, flow, interpret=True)
+    got = upsample_warp(x, flow, interpret=True, lane_tile=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    ref_dx, ref_df = jax.grad(loss, argnums=(0, 1))(x, flow)
+    dx, df = jax.grad(
+        lambda a, b: loss(a, b, lane_tile=True), argnums=(0, 1)
+    )(x, flow)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(ref_df), atol=1e-6)
+
+
 def test_bf16_smoke(rng):
     n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
     x = jnp.asarray(_rand(rng, (n, hl, wl, c)), jnp.bfloat16)
