@@ -152,7 +152,12 @@ def bench_source_only(dtype: str, iters: int, batch: int,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true",
-                   help="bench ONLY the train step (single JSON line)")
+                   help="bench ONLY the train step (single JSON line); "
+                        "--mode picks which")
+    p.add_argument("--mode", default="multi-level",
+                   choices=["multi-level", "single-level", "source-only",
+                            "source-only-warper"],
+                   help="with --train: which fused step to bench")
     p.add_argument("--eval-only", action="store_true",
                    help="bench ONLY bf16 eval at --batch (single JSON line)")
     p.add_argument("--dtype", default="bfloat16",
@@ -164,9 +169,16 @@ def main():
     baseline_est = 5.0  # img/s, CUDA-8-era GPU estimate (none published)
 
     if args.train:
-        step_time = bench_train(args.dtype, args.iters, args.batch)
+        if args.mode.startswith("source-only"):
+            step_time = bench_source_only(
+                args.dtype, args.iters, args.batch,
+                warper=args.mode.endswith("warper"),
+            )
+        else:
+            step_time = bench_train(args.dtype, args.iters, args.batch,
+                                    level=args.mode)
         print(json.dumps({
-            "metric": "multi-level adv train step time (512x1024, bs1)",
+            "metric": f"{args.mode} train step time (512x1024, bs1)",
             "value": round(step_time * 1000.0, 2),
             "unit": "ms/step",
             "vs_baseline": None,
