@@ -147,35 +147,41 @@ class Evaluator:
 
         return replicate(self.mesh, variables)
 
-    def run(self, variables, dataset, batch_size: int = 1,
-            progress_every: int = 100, num_workers: int = 4) -> list[str]:
-        """Evaluate every image; returns the list of written PNG paths.
+    def _stream(self, variables, ds, batch_size, num_workers,
+                progress_every, stacked, pad_value, step) -> list[str]:
+        """Shared streaming skeleton for run / run_streaming.
 
         Host work overlaps device work: PIL decode runs ahead on a thread
         pool (PrefetchIterator) while PNG encodes trail behind on another —
-        the device only ever waits for the next staged batch.
+        the device only ever waits for the next staged batch. The ragged
+        tail (n % batch_size items) is padded so the jitted fn keeps its
+        compiled shape, and the padded masks are dropped.
+
+        stacked: item columns to stack into arrays (others stay lists);
+        pad_value(col, last) -> tail padding element for a stacked column;
+        step(variables, cols) -> masks for the batch (any extra
+        accumulation closes over caller state). Returns written PNG paths.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         from adaptsegnet_tpu.data.pipeline import PrefetchIterator, stack_collate
 
         variables = self._prepare(variables, batch_size)
-        n = len(dataset)
+        shard = self._shard_fn()
+        n = len(ds)
         it = PrefetchIterator(
-            dataset, batch_size, collate=stack_collate({0}),
-            sharding=self._shard_fn(),
+            ds, batch_size, collate=stack_collate(stacked), sharding=shard,
             shuffle=False, num_workers=num_workers,
             max_batches=n // batch_size,
         ) if n >= batch_size else None
 
-        writer_pool = ThreadPoolExecutor(max_workers=2)
+        writer_pool = ThreadPoolExecutor(max_workers=2) if self.save_dir else None
         futures = []
-        written = []
 
         def handle(masks, names, start):
             if start % (progress_every * batch_size) == 0:
                 print(f"{start} processd")  # reference log line (:157)
-            if self.save_dir:
+            if writer_pool is not None:
                 for mask, name in zip(np.asarray(masks), names):
                     futures.append(
                         writer_pool.submit(self._save_mask, mask, name)
@@ -184,31 +190,39 @@ class Evaluator:
         start = 0
         if it is not None:
             for batch in it:
-                images = batch[0]
-                names = batch[-1]
-                handle(self.eval_fn(variables, images), names, start)
+                handle(step(variables, batch), batch[-1], start)
                 start += batch_size
             it.close()
         if start < n:
-            # Ragged tail (n % batch_size items): pad by repeating the last
-            # item so the jitted eval fn keeps its compiled shape (no
-            # recompile), then drop the padded masks.
-            items = [dataset[i] for i in range(start, n)]
+            items = [ds[i] for i in range(start, n)]
             k = len(items)
-            imgs = [it_[0] for it_ in items]
-            imgs += [imgs[-1]] * (batch_size - k)
-            images = np.stack(imgs)
-            shard = self._shard_fn()
-            images = (jax.device_put(images, shard(images)) if shard
-                      else jnp.asarray(images))
-            names = [it_[-1] for it_ in items]
-            masks = self.eval_fn(variables, images)[:k]
-            handle(masks, names, start)
+            cols = []
+            for col in range(len(items[0])):
+                vals = [item[col] for item in items]
+                if col in stacked:
+                    vals += [pad_value(col, vals[-1])] * (batch_size - k)
+                    arr = np.stack(vals)
+                    vals = (jax.device_put(arr, shard(arr)) if shard
+                            else jnp.asarray(arr))
+                cols.append(vals)
+            handle(step(variables, tuple(cols))[:k], cols[-1], start)
 
-        for f in futures:
-            written.append(f.result())
-        writer_pool.shutdown()
+        written = []
+        if writer_pool is not None:
+            for f in futures:
+                written.append(f.result())
+            writer_pool.shutdown()
         return written
+
+    def run(self, variables, dataset, batch_size: int = 1,
+            progress_every: int = 100, num_workers: int = 4) -> list[str]:
+        """Evaluate every image; returns the list of written PNG paths."""
+        return self._stream(
+            variables, dataset, batch_size, num_workers, progress_every,
+            stacked={0},
+            pad_value=lambda col, last: last,
+            step=lambda v, cols: self.eval_fn(v, cols[0]),
+        )
 
     def run_streaming(
         self,
@@ -226,21 +240,16 @@ class Evaluator:
         to build one). The hist is accumulated on device — per batch only
         19x19 ints stay live; under a mesh the batch is sharded and the
         reduction psums over ICI. PNGs are still written when save_dir is
-        set (the masks come back from the same jitted program). Pad/ragged
-        items carry ignore labels so they contribute nothing.
+        set (the masks come back from the same jitted program). Padded
+        ragged-tail items carry all-ignore (255) labels so they contribute
+        nothing to the hist.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
-        from adaptsegnet_tpu.data.pipeline import PrefetchIterator, stack_collate
-
         if self._hist_fn is None:
             self._hist_fn = make_eval_hist_fn(
                 self._model, out_hw=self._out_hw,
                 output_index=self._output_index,
                 num_classes=self._num_classes,
             )
-        variables = self._prepare(variables, batch_size)
-        shard = self._shard_fn()
 
         class _WithLabels:
             """Dataset adapter: item -> (image, label, name)."""
@@ -256,56 +265,23 @@ class Evaluator:
                 image, name = item[0], item[-1]
                 return image, gt_loader(name).astype(np.int32), name
 
-        ds = _WithLabels(dataset)
-        n = len(ds)
-        it = PrefetchIterator(
-            ds, batch_size, collate=stack_collate({0, 1}), sharding=shard,
-            shuffle=False, num_workers=num_workers,
-            max_batches=n // batch_size,
-        ) if n >= batch_size else None
-
-        writer_pool = ThreadPoolExecutor(max_workers=2) if self.save_dir else None
-        futures = []
-
-        def handle(masks, names, start):
-            if start % (progress_every * batch_size) == 0:
-                print(f"{start} processd")  # reference log line (:157)
-            if writer_pool is not None:
-                for mask, name in zip(np.asarray(masks), names):
-                    futures.append(
-                        writer_pool.submit(self._save_mask, mask, name)
-                    )
-
         hist = None
-        start = 0
-        if it is not None:
-            for batch in it:
-                images, labels, names = batch[0], batch[1], batch[-1]
-                masks, h = self._hist_fn(variables, images, labels)
-                hist = h if hist is None else hist + h
-                handle(masks, names, start)
-                start += batch_size
-            it.close()
-        if start < n:
-            items = [ds[i] for i in range(start, n)]
-            k = len(items)
-            imgs = [x[0] for x in items]
-            labs = [x[1] for x in items]
-            imgs += [imgs[-1]] * (batch_size - k)
-            # Padded slots get all-ignore labels: zero hist contribution.
-            labs += [np.full_like(labs[-1], 255)] * (batch_size - k)
-            images, labels = np.stack(imgs), np.stack(labs)
-            if shard:
-                images = jax.device_put(images, shard(images))
-                labels = jax.device_put(labels, shard(labels))
-            masks, h = self._hist_fn(variables, images, labels)
-            hist = h if hist is None else hist + h
-            handle(masks[:k], [x[-1] for x in items], start)
 
-        if writer_pool is not None:
-            for f in futures:
-                f.result()
-            writer_pool.shutdown()
+        def step(variables, cols):
+            nonlocal hist
+            masks, h = self._hist_fn(variables, cols[0], cols[1])
+            hist = h if hist is None else hist + h
+            return masks
+
+        self._stream(
+            variables, _WithLabels(dataset), batch_size, num_workers,
+            progress_every,
+            stacked={0, 1},
+            pad_value=lambda col, last: (
+                last if col == 0 else np.full_like(last, 255)
+            ),
+            step=step,
+        )
         return np.zeros(
             (self._num_classes, self._num_classes), np.int64
         ) if hist is None else np.asarray(jax.device_get(hist)).astype(np.int64)

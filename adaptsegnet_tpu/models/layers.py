@@ -434,7 +434,8 @@ def conv_bn_folded(
         from adaptsegnet_tpu.ops.conv3x3 import conv7x7_s2
 
         y = conv7x7_s2(x, w_folded, f32_exact)
-    elif kernel_size == 1 and stride == 1 and dtype == jnp.bfloat16:
+    elif (kernel_size == 1 and stride == 1 and padding == 0
+          and dtype == jnp.bfloat16):
         # 1x1 channel matmul, lowered explicitly so the activation layout
         # stays plain next to the Pallas 3x3 kernels (ops/conv1x1.py —
         # XLA's 1x1 conv emitter went 2.5-7.3 ms/block when the Pallas

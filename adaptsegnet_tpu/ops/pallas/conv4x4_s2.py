@@ -269,6 +269,11 @@ def _dgrad_kernel(d0_ref, d1_ref, m_ref, oe_ref, oo_ref,
         for rho in _VALID_RHO[py]:
             if rho == 0:
                 win = d0
+            elif rho == r:
+                # r == 2 only (rho <= 2 <= r): d0[rho:] would be an empty
+                # concat operand, which Mosaic rejects; the window is
+                # exactly the next row block.
+                win = d1
             else:
                 win = jnp.concatenate([d0[rho:], d1[:rho]], axis=0)
             for gamma in (0, 1, 2):

@@ -29,7 +29,15 @@ import os
 
 import jax
 
-F32_PRECISION = {
+_CHOICES = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
-}[os.environ.get("ADAPTSEG_F32_PRECISION", "highest").lower()]
+}
+_requested = os.environ.get("ADAPTSEG_F32_PRECISION", "highest").lower()
+if _requested not in _CHOICES:
+    raise ValueError(
+        f"ADAPTSEG_F32_PRECISION={_requested!r} is not supported; choose "
+        f"one of {sorted(_CHOICES)} (DEFAULT precision breaks torch-exact "
+        "eval and is deliberately not offered)."
+    )
+F32_PRECISION = _CHOICES[_requested]

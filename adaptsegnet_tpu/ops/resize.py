@@ -169,13 +169,18 @@ def upsample_softmax_s2d(
     n, h, w, c = logits.shape
     oh, ow = out_hw
     x = logits
+    # f32 inputs keep the f32-parity matmul precision (the dense path this
+    # replaces resizes at F32_PRECISION via upsample_logits(exact=True);
+    # without it the TPU MXU would resize f32 operands with 1-pass bf16
+    # multiplies and the f32 adversarial train path would silently drift).
+    hp = F32_PRECISION if x.dtype == jnp.float32 else None
     phases = []
     for r in (0, 1):
         mh = jnp.asarray(_phase_matrix(h, oh, r), x.dtype)
-        yr = jnp.einsum("uh,nhwc->nuwc", mh, x)
+        yr = jnp.einsum("uh,nhwc->nuwc", mh, x, precision=hp)
         for s in (0, 1):
             mw = jnp.asarray(_phase_matrix(w, ow, s), x.dtype)
-            p = jnp.einsum("vw,nhwc->nhvc", mw, yr)
+            p = jnp.einsum("vw,nhwc->nhvc", mw, yr, precision=hp)
             p = jax.nn.softmax(p, axis=-1)
             # softmax turns the zero pad rows into uniform 1/C; the conv pad
             # must be ZERO. Mask the (at most one) pad row/col per phase.

@@ -64,7 +64,12 @@ def _forward_warper(warper_module, wstate, images):
 
 def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
                  planar=False, mutable_stats=False):
-    """Segmenter forward -> (pred1_up, pred2_up, batch_stats').
+    """Segmenter forward ->
+    (pred1_up, pred2_up, (pred1_raw, pred2_raw), batch_stats').
+
+    The raw (un-upsampled) logits are load-bearing: the adversarial step
+    feeds them to upsample_softmax_s2d so the discriminator consumes
+    blocked phases with no space-to-depth relayout.
 
     bf16 models get the fast in-dtype resize (the exact f32 interpolation
     only matters for bit-parity eval; in training it costs real time in both

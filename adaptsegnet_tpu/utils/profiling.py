@@ -123,13 +123,17 @@ def print_op_stats(rows: list[dict], top: int = 40, iters: int = 1):
           f"{iters} iters -> {total / 1e3 / max(iters, 1):.2f} ms/step")
     print(f"{'op type':<28} {'occ':>4} {'self ms':>9} {'%':>5}  name")
     for r in rows[:top]:
-        print(f"{r.get('op_type', ''):<28} {r.get('occurrences', ''):>4} "
+        # Cells can be None (absent column / null gviz cell, varies by
+        # xprof version); str() them so formatting never throws after an
+        # expensive trace.
+        print(f"{str(r.get('op_type') or ''):<28} "
+              f"{str(r.get('occurrences') or ''):>4} "
               f"{r['self_us'] / 1e3:>9.3f} "
               f"{100 * r['self_us'] / max(total, 1e-9):>5.1f}  "
-              f"{r.get('op_name', '')[:70]}")
+              f"{str(r.get('op_name') or '')[:70]}")
     agg: dict = {}
     for r in rows:
-        key = r.get("op_type", "?")
+        key = r.get("op_type") or "?"
         agg[key] = agg.get(key, 0.0) + r["self_us"]
     print("\nrollup by op type:")
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:20]:

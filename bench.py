@@ -178,7 +178,8 @@ def main():
             step_time = bench_train(args.dtype, args.iters, args.batch,
                                     level=args.mode)
         print(json.dumps({
-            "metric": f"{args.mode} train step time (512x1024, bs1)",
+            "metric": (f"{args.mode} train step time "
+                       f"(512x1024, bs{args.batch})"),
             "value": round(step_time * 1000.0, 2),
             "unit": "ms/step",
             "vs_baseline": None,

@@ -168,7 +168,10 @@ def test_discriminator_phase_init_matches_dense_layout(rng):
 
 
 @pytest.mark.parametrize("n,h,w,c,cout", [(2, 32, 48, 32, 128),
-                                          (1, 16, 24, 128, 256)])
+                                          (1, 16, 24, 128, 256),
+                                          # ho = 6 -> _pick_r = 2: dgrad's
+                                          # rho == r window branch
+                                          (1, 12, 16, 32, 128)])
 def test_conv4x4_s2_pallas_matches_torch(rng, n, h, w, c, cout):
     """Pallas conv4x4/s2 (interpret mode): fwd + dx + dk + db vs torch."""
     from adaptsegnet_tpu.ops.pallas.conv4x4_s2 import conv4x4_s2_mxu
