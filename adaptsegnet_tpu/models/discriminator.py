@@ -55,11 +55,12 @@ class _Conv4x4Params(nn.Module):
 
 
 class FCDiscriminator(nn.Module):
-    """Input is either the (N, H, W, C) softmax map, or the 4-tuple of
-    stride-2 parity phases from ops.resize.upsample_softmax_s2d — the
-    blocked producer layout that lets conv1 run shuffle-free
-    (ops.conv4x4.conv4x4_s2d_phases). Same params, same math, same
-    checkpoint layout either way."""
+    """Input is the (N, H, W, C) softmax map, the 4-tuple of stride-2
+    parity phases from ops.resize.upsample_softmax_s2d, or the 1-tuple of
+    their single channel-concat tensor (blocked=True) — the producer
+    layouts that let conv1 run shuffle-free (ops.conv4x4.conv4x4_s2d_phases
+    / conv4x4_s2d_blocked). Same params, same math, same checkpoint layout
+    every way."""
 
     num_classes: int = 19
     ndf: int = 64
@@ -75,13 +76,20 @@ class FCDiscriminator(nn.Module):
         cin = self.num_classes
         start = 0
         if isinstance(x, (tuple, list)):
-            from adaptsegnet_tpu.ops.conv4x4 import conv4x4_s2d_phases
+            from adaptsegnet_tpu.ops.conv4x4 import (
+                conv4x4_s2d_blocked,
+                conv4x4_s2d_phases,
+            )
 
             k, b = _Conv4x4Params(cin, self.ndf, name="conv1")()
-            x = conv4x4_s2d_phases(
-                tuple(p.astype(self.dtype) for p in x),
-                jnp.asarray(k, self.dtype), jnp.asarray(b, self.dtype),
-            )
+            k = jnp.asarray(k, self.dtype)
+            b = jnp.asarray(b, self.dtype)
+            if len(x) == 1:  # blocked single-tensor form (4C channels)
+                x = conv4x4_s2d_blocked(x[0].astype(self.dtype), k, b)
+            else:
+                x = conv4x4_s2d_phases(
+                    tuple(p.astype(self.dtype) for p in x), k, b
+                )
             x = leaky_relu(x, 0.2)
             cin, start = self.ndf, 1
         for i, cout in list(enumerate(widths))[start:]:

@@ -21,6 +21,7 @@ pinned in tests/test_conv3x3.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -214,20 +215,46 @@ def _stem_bwd(f32_exact, res, dy):
     # with x2[u, v, (a, b, c)] = xpad[2u + a, 2v + b, c].
     xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
     hb, wb = xp.shape[1] // 2, xp.shape[2] // 2
-    x2 = xp.reshape(n, hb, 2, wb, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    x2 = x2.reshape(n, hb, wb, 4 * c)
     dyf = dy.reshape(-1, cout)
     dk8 = [[None] * 4 for _ in range(4)]
-    for p in range(4):
-        for q in range(4):
-            xs = jax.lax.slice(
-                x2, (0, p, q, 0), (n, p + oh, q + ow, 4 * c)
-            ).reshape(-1, 4 * c)
-            g = jax.lax.dot_general(
-                xs, dyf, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # (4c, cout), row order (a, b, c)
-            dk8[p][q] = g.reshape(2, 2, c, cout)
+    if os.environ.get("ADAPTSEG_STEM_WGRAD_RP", "0") == "1":
+        # OPT-IN (flip only on an in-step bench.py --train win): build the
+        # s2d slices per ROW parity — a major-axis strided slice plus a
+        # contiguous (W, C) -> (W/2, 2C) flatten, both cheap — instead of
+        # the 6D reshape+transpose of the RGB-minor image, which the step
+        # profile pins at ~1.5 ms/step (transpose(jvp)/backbone/
+        # {reshape,transpose}) across the two backward passes. Costs 32
+        # K=2C dots instead of 16 K=4C (one extra streaming pass set,
+        # ~0.27 ms) against the ~1.5 ms shuffle it deletes.
+        x2r = [
+            xp[:, a::2].reshape(n, hb, wb, 2 * c) for a in (0, 1)
+        ]  # x2r[a][u, v, (b, c)] = xpad[2u + a, 2v + b, c]
+        for p in range(4):
+            for q in range(4):
+                ga = []
+                for a in (0, 1):
+                    xs = jax.lax.slice(
+                        x2r[a], (0, p, q, 0), (n, p + oh, q + ow, 2 * c)
+                    ).reshape(-1, 2 * c)
+                    g = jax.lax.dot_general(
+                        xs, dyf, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )  # (2c, cout), row order (b, c)
+                    ga.append(g.reshape(2, c, cout))
+                dk8[p][q] = jnp.stack(ga)  # (a, b, c, cout)
+    else:
+        x2 = xp.reshape(n, hb, 2, wb, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x2 = x2.reshape(n, hb, wb, 4 * c)
+        for p in range(4):
+            for q in range(4):
+                xs = jax.lax.slice(
+                    x2, (0, p, q, 0), (n, p + oh, q + ow, 4 * c)
+                ).reshape(-1, 4 * c)
+                g = jax.lax.dot_general(
+                    xs, dyf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (4c, cout), row order (a, b, c)
+                dk8[p][q] = g.reshape(2, 2, c, cout)
     # Reassemble k8[2p + a, 2q + b] = dk8[p][q][a, b], then crop 8x8 -> 7x7.
     dk = jnp.stack([jnp.stack(r) for r in dk8])  # (p, q, a, b, c, o)
     dk = dk.transpose(0, 2, 1, 3, 4, 5).reshape(8, 8, c, cout)

@@ -134,19 +134,42 @@ def _fwd_impl(x, kernel, bias):
     n, h, w, c = x.shape
     kh, kw, kc, cout = kernel.shape
     assert (kh, kw) == (4, 4) and kc == c and h % 2 == 0 and w % 2 == 0
-    oh, ow = h // 2, w // 2
-    f32 = x.dtype == jnp.float32
+    return _blocked_dots(_s2d(x), kernel, bias, h // 2, w // 2)
 
-    blocks = _s2d(x)
+
+def _blocked_dots(blocks, kernel, bias, oh, ow):
+    """Four static-slice K=4C matmuls on a pre-blocked (N,oh+1,ow+1,4C)
+    space-to-depth tensor (channel order (r, s, c), matching _wprime)."""
+    n = blocks.shape[0]
+    c = kernel.shape[2]
+    dtype = blocks.dtype
+    f32 = dtype == jnp.float32
     out = None
-    for i, wab in enumerate(_wprime(kernel.astype(x.dtype))):
+    for i, wab in enumerate(_wprime(kernel.astype(dtype))):
         a, b = divmod(i, 2)
         xab = jax.lax.slice(blocks, (0, a, b, 0), (n, a + oh, b + ow, 4 * c))
         y = _dot(xab, wab, f32)
         out = y if out is None else out + y
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+    return out.astype(dtype)
+
+
+def conv4x4_s2d_blocked(
+    blocks: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """conv4x4_stride2 on a pre-blocked SINGLE-tensor s2d input.
+
+    `blocks` is the (N, H/2+1, W/2+1, 4C) channel-concat of the four parity
+    phases in (r, s, c) order (ops.resize.upsample_softmax_s2d(...,
+    blocked=True)). Four K=4C static-slice matmuls — one quarter of the
+    M-dim streaming passes of the 16 K=C dots conv4x4_s2d_phases needs
+    (profiled: the phase form's D conv1 runs at ~21 TF/s because each of
+    the 16 tiny-K dots pays a full pass over the M=N*H*W/4 rows)."""
+    n, hb, wb, c4 = blocks.shape
+    kh, kw, kc, cout = kernel.shape
+    assert (kh, kw) == (4, 4) and 4 * kc == c4
+    return _blocked_dots(blocks, kernel, bias, hb - 1, wb - 1)
 
 
 def conv4x4_s2d_phases(

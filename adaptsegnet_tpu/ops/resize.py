@@ -148,7 +148,7 @@ def _phase_matrix(in_len: int, out_len: int, parity: int) -> np.ndarray:
 
 
 def upsample_softmax_s2d(
-    logits: jnp.ndarray, out_hw: tuple[int, int]
+    logits: jnp.ndarray, out_hw: tuple[int, int], blocked: bool = False
 ) -> tuple[jnp.ndarray, ...]:
     """softmax(upsample(logits)) in stride-2 parity-phase (blocked) form.
 
@@ -165,6 +165,12 @@ def upsample_softmax_s2d(
     F.softmax(interp(pred)) to the D): the blocked layout means the
     4x4/stride-2 conv1 consumes it as clean matmuls (conv4x4_s2d_phases)
     with no space-to-depth relayout anywhere.
+
+    `blocked=True` returns a 1-tuple of the single channel-concat tensor
+    (N, H/2+1, W/2+1, 4C), order (r, s, c) — the input contract of
+    conv4x4_s2d_blocked, which needs 4x fewer MXU streaming passes than
+    the 16 K=C dots of the phase form (and the 4C=76-lane concat writes
+    waste fewer lanes than four separate C=19-minor tensors).
     """
     n, h, w, c = logits.shape
     oh, ow = out_hw
@@ -197,6 +203,8 @@ def upsample_softmax_s2d(
                 cmask[-1] = 0.0
             p = p * jnp.asarray(rmask * cmask[None], p.dtype)
             phases.append(p)
+    if blocked:
+        return (jnp.concatenate(phases, axis=-1),)
     return tuple(phases)
 
 

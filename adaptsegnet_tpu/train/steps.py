@@ -29,6 +29,8 @@ its BN runs in batch-stats mode with running stats updated.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -255,7 +257,17 @@ def make_adversarial_step(
                 if flow is None and getattr(
                     discriminator, "supports_s2d_phases", False
                 ):
-                    sm_of = lambda raw: upsample_softmax_s2d(raw, input_hw)
+                    # OPT-IN (flip only on an in-step bench.py --train win,
+                    # ops/conv3x3.py NOTE discipline): single channel-concat
+                    # blocked tensor -> conv1 runs 4 K=4C dots instead of
+                    # 16 K=C (conv4x4_s2d_blocked); the concat's lane
+                    # shuffle is the unknown the A/B decides.
+                    blocked = (
+                        os.environ.get("ADAPTSEG_D_BLOCKED_S2D", "0") == "1"
+                    )
+                    sm_of = lambda raw: upsample_softmax_s2d(
+                        raw, input_hw, blocked=blocked
+                    )
                     sm2_t = sm_of(raw_t[1])
                     sm2_s = sm_of(raw_s[1])
                     sm1_t = sm_of(raw_t[0]) if multi else None

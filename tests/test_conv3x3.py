@@ -64,6 +64,27 @@ def test_conv7x7_s2_forward_and_wgrad_match_torch(rng):
         rtol=1e-4, atol=1e-5)
 
 
+def test_stem_wgrad_rowparity_gate_matches_torch(rng, monkeypatch):
+    """ADAPTSEG_STEM_WGRAD_RP=1 (row-parity s2d build, 32 K=2C dots)
+    produces the same wgrad as the default path / torch."""
+    monkeypatch.setenv("ADAPTSEG_STEM_WGRAD_RP", "1")
+    x = rng.standard_normal((1, 32, 48, 3), dtype=np.float32)
+    w = rng.standard_normal((7, 7, 3, 16), dtype=np.float32) * 0.1
+    dy = rng.standard_normal((1, 16, 24, 16), dtype=np.float32)
+
+    tw = torch.from_numpy(w.transpose(3, 2, 0, 1)).requires_grad_(True)
+    ty = F.conv2d(torch.from_numpy(x.copy()).permute(0, 3, 1, 2), tw,
+                  stride=2, padding=3)
+    ty.backward(torch.from_numpy(dy).permute(0, 3, 1, 2))
+
+    f = lambda x_, w_: conv7x7_s2(x_, w_, True)
+    _, vjp = jax.vjp(f, jnp.asarray(x), jnp.asarray(w))
+    _, gw = vjp(jnp.asarray(dy))
+    np.testing.assert_allclose(
+        np.asarray(gw), tw.grad.permute(2, 3, 1, 0).numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_stem_bf16_s2d_path_matches_f32(rng):
     """bf16 stem takes the space-to-depth 4x4 lowering; values match the
     f32 native-conv path within bf16 tolerance."""

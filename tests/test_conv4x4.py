@@ -112,6 +112,66 @@ def test_s2d_phases_matches_dense(rng):
     np.testing.assert_allclose(phased, dense, rtol=1e-5, atol=1e-5)
 
 
+def test_s2d_blocked_matches_dense(rng):
+    """conv4x4_s2d_blocked on the channel-concat (r,s,c) block tensor ==
+    the dense conv, values AND input-side gradients."""
+    from adaptsegnet_tpu.ops.conv4x4 import conv4x4_s2d_blocked
+
+    x = rng.standard_normal((2, 16, 24, 19), dtype=np.float32)
+    k = (rng.standard_normal((4, 4, 19, 8)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    blocks = jnp.concatenate(_phases_of(x), axis=-1)
+    dense = np.asarray(conv4x4_stride2(jnp.asarray(x), jnp.asarray(k),
+                                       jnp.asarray(b)))
+    got = np.asarray(conv4x4_s2d_blocked(blocks, jnp.asarray(k),
+                                         jnp.asarray(b)))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+    gk_dense = jax.grad(lambda k_: jnp.sum(
+        conv4x4_stride2(jnp.asarray(x), k_, jnp.asarray(b)) ** 2))(
+        jnp.asarray(k))
+    gk_blocked = jax.grad(lambda k_: jnp.sum(
+        conv4x4_s2d_blocked(blocks, k_, jnp.asarray(b)) ** 2))(
+        jnp.asarray(k))
+    np.testing.assert_allclose(np.asarray(gk_blocked), np.asarray(gk_dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_upsample_softmax_s2d_blocked_is_phase_concat(rng):
+    from adaptsegnet_tpu.ops.resize import upsample_softmax_s2d
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 19), dtype=np.float32))
+    phases = upsample_softmax_s2d(x, (32, 64))
+    (blocked,) = upsample_softmax_s2d(x, (32, 64), blocked=True)
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.concatenate([np.asarray(p) for p in phases],
+                                            axis=-1))
+
+
+def test_discriminator_blocked_input_matches_dense(rng):
+    """FCDiscriminator((blocked,)) == FCDiscriminator(array): same params,
+    same output, same param gradients."""
+    from adaptsegnet_tpu.models import FCDiscriminator
+
+    x = rng.standard_normal((1, 32, 48, 19), dtype=np.float32)
+    blocked = (jnp.concatenate(_phases_of(x), axis=-1),)
+    d = FCDiscriminator(num_classes=19, ndf=8)
+    v = d.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    dense = d.apply(v, jnp.asarray(x))
+    got = d.apply(v, blocked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+    gd = jax.grad(lambda p: jnp.sum(d.apply({"params": p}, jnp.asarray(x))))(
+        v["params"])
+    gb = jax.grad(lambda p: jnp.sum(d.apply({"params": p}, blocked)))(
+        v["params"])
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_upsample_softmax_s2d_matches_composition(rng):
     """Blocked producer == s2d(pad(softmax(upsample(x)))) split in channel
     groups (pad positions exactly zero)."""
