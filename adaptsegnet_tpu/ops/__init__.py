@@ -12,6 +12,7 @@ from adaptsegnet_tpu.ops.resize import (
 from adaptsegnet_tpu.ops.sampling import grid_sample_bilinear
 from adaptsegnet_tpu.ops.losses import (
     cross_entropy_2d,
+    cross_entropy_2d_planar,
     gan_loss,
     bce_with_logits,
     ls_gan_mse,
@@ -26,6 +27,7 @@ __all__ = [
     "upsample_logits",
     "grid_sample_bilinear",
     "cross_entropy_2d",
+    "cross_entropy_2d_planar",
     "gan_loss",
     "bce_with_logits",
     "ls_gan_mse",

@@ -135,9 +135,12 @@ def _expand_y(vy, e2_ref, cdtype, out_dtype=jnp.float32):
 
 
 def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
-                *, sy, sx, cdtype):
+                *, sy, sx, cdtype, planar):
     wl = x_ref.shape[1]
-    bp, c = o_ref.shape[1:]
+    if planar:
+        c, bp = o_ref.shape[1:]
+    else:
+        bp, c = o_ref.shape[1:]
     hl = e2_ref.shape[0]
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
@@ -146,17 +149,26 @@ def _fwd_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, o_ref,
     t = jnp.dot(vx.astype(cdtype), x_ref[0],
                 preferred_element_type=jnp.float32).astype(cdtype)
     vye = _expand_y(vy, e2_ref, cdtype, out_dtype=cdtype)
-    o_ref[0] = jnp.dot(
+    out = jnp.dot(
         (t * vye).astype(cdtype), s2_ref[:],
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+    # planar: emit (C, bp) channel planes — a VMEM transpose here is ~free
+    # while the (N, P, C) c-minor HBM tensor pads every (8, 128) tile to
+    # 128 lanes (6.7x traffic at C=19) for EVERY downstream consumer.
+    o_ref[0] = jnp.transpose(out, (1, 0)) if planar else out
 
 
 def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
-                  *, sy, sx, cdtype, lane_tile):
+                  *, sy, sx, cdtype, lane_tile, planar):
     tnum = pl.program_id(1)
     wl = dx_ref.shape[1]
-    bp, c = g_ref.shape[1:]
+    if planar:
+        c, bp = g_ref.shape[1:]
+        g = jnp.transpose(g_ref[0], (1, 0))  # (C, bp) plane -> (bp, C)
+    else:
+        bp, c = g_ref.shape[1:]
+        g = g_ref[0]
     hl = e2_ref.shape[0]
     vy, _, _ = _axis_weights(iy_ref, hl, sy, bp)
     vx, _, _ = _axis_weights(ix_ref, wl, sx, bp)
@@ -165,13 +177,13 @@ def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
         # (bp, C) -> (bp, h*C): lane tile on the VPU (g repeats verbatim
         # per lo-res row group) instead of the K=19 MXU dot below, which
         # runs at ~19/128 utilization.
-        gexp = pltpu.repeat(g_ref[0].astype(cdtype), hl, axis=1)
+        gexp = pltpu.repeat(g.astype(cdtype), hl, axis=1)
     else:
         # (bp, C) -> (bp, h*C) group expansion via g @ S2^T (MXU,
         # reshape-free; 0/1 rhs, so the cdtype result is exact up to g's
         # own rounding)
         gexp = jax.lax.dot_general(
-            g_ref[0].astype(cdtype), s2_ref[:],
+            g.astype(cdtype), s2_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(cdtype)
@@ -190,13 +202,17 @@ def _bwd_x_kernel(iy_ref, ix_ref, g_ref, e2_ref, s2_ref, dx_ref,
 
 
 def _bwd_flow_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, g_ref,
-                     diy_ref, dix_ref, *, sy, sx, cdtype):
+                     diy_ref, dix_ref, *, sy, sx, cdtype, planar):
     wl = x_ref.shape[1]
-    bp, c = g_ref.shape[1:]
+    if planar:
+        c, bp = g_ref.shape[1:]
+        g = jnp.transpose(g_ref[0], (1, 0)).astype(jnp.float32)
+    else:
+        bp, c = g_ref.shape[1:]
+        g = g_ref[0].astype(jnp.float32)
     hl = e2_ref.shape[0]
     vy, ry0, ly = _axis_weights(iy_ref, hl, sy, bp)
     vx, cx0, lx = _axis_weights(ix_ref, wl, sx, bp)
-    g = g_ref[0].astype(jnp.float32)
     x = x_ref[0]
     t = jnp.dot(vx.astype(cdtype), x, preferred_element_type=jnp.float32)
 
@@ -258,26 +274,38 @@ def _cdtype(dtype):
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _sample_upsampled(x, iy, ix, interpret, lane_tile=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sample_upsampled(x, iy, ix, interpret, lane_tile=False,
+                      planar_out=False):
     """out[n, y, x, c] = bilinear-upsample(x)[n] sampled at (iy, ix).
 
     iy/ix are hi-res pixel coordinates (N, H, W), assumed in-range
     [0, H-1] x [0, W-1] (the warp wrapper's clamp guarantees this).
+    planar_out=True returns (n, c, y, x) channel planes instead (see
+    _fwd_kernel: same math, the kernel just stores transposed blocks).
     """
-    out, _ = _sample_fwd(x, iy, ix, interpret, lane_tile)
+    out, _ = _sample_fwd(x, iy, ix, interpret, lane_tile, planar_out)
     return out
 
 
-def _sample_fwd(x, iy, ix, interpret, lane_tile=False):
+def _sample_fwd(x, iy, ix, interpret, lane_tile=False, planar_out=False):
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
     bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
     nt = (p + pad) // bp
+    if planar_out:
+        out_specs = pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, c, p + pad), x.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, p + pad, c), x.dtype)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, sy=sy, sx=sx, cdtype=cdtype),
+        functools.partial(_fwd_kernel, sy=sy, sx=sx, cdtype=cdtype,
+                          planar=planar_out),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
@@ -291,9 +319,8 @@ def _sample_fwd(x, iy, ix, interpret, lane_tile=False):
             pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, p + pad, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (p + pad) * (wl + hl + c) * hl * c,
             bytes_accessed=4 * n * (p + pad) * (2 + c),
@@ -302,26 +329,42 @@ def _sample_fwd(x, iy, ix, interpret, lane_tile=False):
         interpret=interpret,
     )(iyp, ixp, xf.astype(cdtype), _e2matrix(hl, c, cdtype),
       _s2matrix(hl, c, cdtype))
-    out = out[:, :p, :].reshape(n, hh, wh, c)
+    if planar_out:
+        out = out[:, :, :p].reshape(n, c, hh, wh)
+    else:
+        out = out[:, :p, :].reshape(n, hh, wh, c)
     return out, (x, iy, ix)
 
 
-def _sample_bwd(interpret, lane_tile, res, g):
+def _sample_bwd(interpret, lane_tile, planar_out, res, g):
     x, iy, ix = res
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
-    gf = g.reshape(n, p, c)
+    gf = g.reshape(n, c, p) if planar_out else g.reshape(n, p, c)
 
     dx = _bwd_x(iyf, ixf, gf, geo, cdtype, interpret,
-                lane_tile).astype(x.dtype)
+                lane_tile, planar_out).astype(x.dtype)
 
     bp = _BLOCK_FLOW
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
-    gp = jnp.pad(gf, ((0, 0), (0, pad), (0, 0))) if pad else gf
+    if pad:
+        gpad = ((0, 0), (0, 0), (0, pad)) if planar_out else \
+            ((0, 0), (0, pad), (0, 0))
+        gp = jnp.pad(gf, gpad)
+    else:
+        gp = gf
+    gspec = (
+        pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
+                     memory_space=pltpu.VMEM)
+        if planar_out else
+        pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
+                     memory_space=pltpu.VMEM)
+    )
     nb = (p + pad) // bp
     diy, dix = pl.pallas_call(
-        functools.partial(_bwd_flow_kernel, sy=sy, sx=sx, cdtype=cdtype),
+        functools.partial(_bwd_flow_kernel, sy=sy, sx=sx, cdtype=cdtype,
+                          planar=planar_out),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
@@ -334,8 +377,7 @@ def _sample_bwd(interpret, lane_tile, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
+            gspec,
         ],
         out_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
@@ -355,24 +397,36 @@ def _sample_bwd(interpret, lane_tile, res, g):
     return dx, diy, dix
 
 
-def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False):
+def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False,
+           planar=False):
     """Per-batch dx: grid (n, nt); each batch's block accumulates over nt."""
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     bp = _block(cdtype)
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
-    gp = jnp.pad(gf, ((0, 0), (0, pad), (0, 0))) if pad else gf
+    if pad:
+        gpad = ((0, 0), (0, 0), (0, pad)) if planar else \
+            ((0, 0), (0, pad), (0, 0))
+        gp = jnp.pad(gf, gpad)
+    else:
+        gp = gf
+    gspec = (
+        pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
+                     memory_space=pltpu.VMEM)
+        if planar else
+        pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
+                     memory_space=pltpu.VMEM)
+    )
     nt = (p + pad) // bp
     dxf = pl.pallas_call(
         functools.partial(_bwd_x_kernel, sy=sy, sx=sx, cdtype=cdtype,
-                          lane_tile=lane_tile),
+                          lane_tile=lane_tile, planar=planar),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bp), lambda i, t: (i, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
+            gspec,
             pl.BlockSpec((hl, hl * c), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hl * c, c), lambda i, t: (0, 0),
@@ -431,6 +485,7 @@ def upsample_warp(
     interpret: bool | None = None,
     planar: bool = False,
     lane_tile: bool | None = None,
+    planar_out: bool = False,
 ) -> jnp.ndarray:
     """warp_with_flow(upsample_logits(x, out_hw), flow), fused and exact.
 
@@ -448,6 +503,12 @@ def upsample_warp(
 
     `lane_tile` defaults to the ADAPTSEG_WARP_LANE_TILE opt-in env gate
     (see _env_lane_tile); pass explicitly in tests.
+
+    `planar_out=True` returns (N, C, H, W) channel planes: same values,
+    but the kernels store/load transposed blocks so no (N, H, W, 19)
+    c-minor tensor (whose HBM tiles pad 19 -> 128 lanes) ever exists —
+    for consumers that can work on planes (ops.losses.
+    cross_entropy_2d_planar).
     """
     if out_hw is None:
         out_hw = (
@@ -462,8 +523,10 @@ def upsample_warp(
         if planar:
             flow = jnp.transpose(flow, (0, 2, 3, 1))
         exact = x.dtype == jnp.float32
-        return warp_with_flow(upsample_logits(x, out_hw, exact=exact), flow)
+        out = warp_with_flow(upsample_logits(x, out_hw, exact=exact), flow)
+        return jnp.transpose(out, (0, 3, 1, 2)) if planar_out else out
     if lane_tile is None:
         lane_tile = _env_lane_tile()
     iy, ix = _coords_from_flow(flow, out_hw, planar=planar)
-    return _sample_upsampled(x, iy, ix, bool(interpret), bool(lane_tile))
+    return _sample_upsampled(x, iy, ix, bool(interpret), bool(lane_tile),
+                             bool(planar_out))

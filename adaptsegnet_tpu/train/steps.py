@@ -34,7 +34,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-from adaptsegnet_tpu.ops import cross_entropy_2d, gan_loss, upsample_logits
+from adaptsegnet_tpu.ops import (
+    cross_entropy_2d,
+    cross_entropy_2d_planar,
+    gan_loss,
+    upsample_logits,
+)
 from adaptsegnet_tpu.ops.resize import upsample_softmax_s2d
 from adaptsegnet_tpu.ops.pallas.upsample_warp import upsample_warp
 from adaptsegnet_tpu.train.state import TrainState
@@ -65,7 +70,7 @@ def _forward_warper(warper_module, wstate, images):
 
 
 def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
-                 planar=False, mutable_stats=False):
+                 planar=False, mutable_stats=False, planar_out=False):
     """Segmenter forward ->
     (pred1_up, pred2_up, (pred1_raw, pred2_raw), batch_stats').
 
@@ -101,7 +106,8 @@ def _seg_forward(model, params, batch_stats, images, input_hw, flow=None,
     if flow is None:
         pred2_up = upsample_logits(pred2, input_hw, exact=exact)
     else:
-        pred2_up = upsample_warp(pred2, flow, input_hw, planar=planar)
+        pred2_up = upsample_warp(pred2, flow, input_hw, planar=planar,
+                                 planar_out=planar_out)
     return pred1_up, pred2_up, (pred1, pred2), batch_stats
 
 
@@ -119,6 +125,15 @@ def make_source_only_step(
     """
     planar = bool(getattr(warper_module, "planar_flow", False))
     bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
+    # OPT-IN (flip only on an in-step bench.py --train win): warped pred2
+    # emitted as (N, C, H, W) planes straight out of the warp kernel and
+    # consumed by the planar CE — no c-minor (H, W, 19) tensor (whose HBM
+    # tiles pad 19 -> 128 lanes) between them. Source-only only: here pred2
+    # feeds nothing but the CE.
+    planar_ce = (
+        warper_module is not None
+        and os.environ.get("ADAPTSEG_WARP_PLANAR_CE", "0") == "1"
+    )
 
     def step(state: TrainState, batch):
         gstate = state.generator
@@ -136,8 +151,11 @@ def make_source_only_step(
                 _, pred2, _, new_bstats = _seg_forward(
                     model, params, bstats, mb["images"], input_hw,
                     flow=flow, planar=planar, mutable_stats=bn_batch,
+                    planar_out=planar_ce,
                 )
-                return cross_entropy_2d(pred2, mb["labels"]), new_bstats
+                ce = (cross_entropy_2d_planar if planar_ce
+                      else cross_entropy_2d)
+                return ce(pred2, mb["labels"]), new_bstats
 
             (loss, bstats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

@@ -4,6 +4,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from adaptsegnet_tpu.ops import (
@@ -34,6 +35,28 @@ def test_cross_entropy_all_ignored_is_zero(rng):
     logits = rng.standard_normal((1, 4, 4, 19), dtype=np.float32)
     labels = np.full((1, 4, 4), 255, dtype=np.int64)
     assert float(cross_entropy_2d(jnp.asarray(logits), jnp.asarray(labels))) == 0.0
+
+
+def test_cross_entropy_planar_matches_dense(rng):
+    """cross_entropy_2d_planar((N,C,H,W)) == cross_entropy_2d((N,H,W,C)),
+    value and logits gradient, with ignore pixels present."""
+    from adaptsegnet_tpu.ops import cross_entropy_2d_planar
+
+    logits = rng.standard_normal((2, 8, 12, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, size=(2, 8, 12)).astype(np.int32)
+    labels[:, :2] = 255
+    lj, yj = jnp.asarray(logits), jnp.asarray(labels)
+
+    dense = cross_entropy_2d(lj, yj)
+    planar = cross_entropy_2d_planar(jnp.transpose(lj, (0, 3, 1, 2)), yj)
+    np.testing.assert_allclose(float(planar), float(dense),
+                               rtol=1e-6, atol=1e-7)
+
+    gd = jax.grad(lambda l: cross_entropy_2d(l, yj))(lj)
+    gp = jax.grad(lambda l: cross_entropy_2d_planar(
+        jnp.transpose(l, (0, 3, 1, 2)), yj))(lj)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_bce_with_logits_matches_torch(rng):

@@ -202,6 +202,64 @@ def test_d_grads_do_not_leak_into_generator(rng):
     )
 
 
+class TinyWarper(nn.Module):
+    """Stand-in honoring the Warper contract: images -> ((N,H,W,2) flow,
+    warp_list), with an (unused) stats collection."""
+
+    planar_flow = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        flow = Conv2d(2, 3, stride=1, padding=1, name="flow")(x)
+        return jnp.tanh(flow) * 0.3, []
+
+
+def test_planar_ce_gate_matches_dense_path(rng, monkeypatch):
+    """ADAPTSEG_WARP_PLANAR_CE=1 (warp kernel emits channel planes, CE
+    consumes them) must reproduce the dense source-only warper step: same
+    loss, same updated params."""
+    from adaptsegnet_tpu.train.state import WarperState
+
+    def build():
+        model = TinySeg()
+        kg, kw = jax.random.split(jax.random.PRNGKey(0))
+        gvars = model.init(kg, jnp.zeros((1, *HW, 3)))
+        labels = generator_param_labels(gvars["params"], all_1x=True)
+        gstate = GeneratorState.create(
+            gvars["params"], gvars.get("batch_stats", {}),
+            make_generator_tx(labels, base_lr=0.01, num_steps=100),
+        )
+        warper = TinyWarper()
+        wvars = warper.init(kw, jnp.zeros((1, *HW, 3)), train=False)
+        wstate = WarperState(params=wvars["params"],
+                             stats={k: v for k, v in wvars.items()
+                                    if k != "params"})
+        return model, warper, TrainState(
+            step=jnp.zeros((), jnp.int32), generator=gstate,
+            d1=None, d2=None, warper=wstate,
+        )
+
+    batch = make_batch(rng, with_target=False)
+    results = {}
+    for gate in ("0", "1"):
+        monkeypatch.setenv("ADAPTSEG_WARP_PLANAR_CE", gate)
+        model, warper, state = build()
+        step = make_source_only_step(model, warper, input_hw=HW,
+                                     donate=False)
+        state, metrics = step(state, batch)
+        results[gate] = (state, metrics)
+
+    # f32 reassociation tolerance: the planar CE reduces over a different
+    # axis order than the dense one.
+    np.testing.assert_allclose(float(results["1"][1]["loss_seg2"]),
+                               float(results["0"][1]["loss_seg2"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(results["0"][0].generator.params),
+                    jax.tree.leaves(results["1"][0].generator.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_blocked_s2d_gate_matches_phase_path(rng, monkeypatch):
     """ADAPTSEG_D_BLOCKED_S2D=1 (single channel-concat D input, 4 K=4C
     conv1 dots) must reproduce the default phase path's multi-level step

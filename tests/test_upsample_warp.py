@@ -130,6 +130,39 @@ def test_lane_tile_matches_matmul_expansion(rng):
     np.testing.assert_allclose(np.asarray(df), np.asarray(ref_df), atol=1e-6)
 
 
+def test_planar_out_matches_dense(rng):
+    """planar_out=True == transpose(dense): forward values AND both
+    gradients through the transposed-block kernel paths."""
+    n, hl, wl, c, hh, wh = 1, 6, 8, 5, 24, 32
+    x = jnp.asarray(_rand(rng, (n, hl, wl, c)))
+    flow = jnp.asarray(_rand(rng, (n, hh, wh, 2), 0.5))
+    g = jnp.asarray(_rand(rng, (n, hh, wh, c)))
+
+    ref = upsample_warp(x, flow, interpret=True)
+    got = upsample_warp(x, flow, interpret=True, planar_out=True)
+    assert got.shape == (n, c, hh, wh)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref).transpose(0, 3, 1, 2),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss(xj, fj, planar_out):
+        out = upsample_warp(xj, fj, interpret=True, planar_out=planar_out)
+        gp = jnp.transpose(g, (0, 3, 1, 2)) if planar_out else g
+        return jnp.vdot(out, gp)
+
+    dx_r, df_r = jax.grad(loss, argnums=(0, 1))(x, flow, False)
+    dx_p, df_p = jax.grad(loss, argnums=(0, 1))(x, flow, True)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_r),
+                               atol=1e-5, rtol=1e-5)
+
+    # CPU fallback dispatch (interpret=None on a non-TPU backend)
+    fb = upsample_warp(x, flow, planar_out=True)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(got),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_bf16_smoke(rng):
     n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
     x = jnp.asarray(_rand(rng, (n, hl, wl, c)), jnp.bfloat16)
