@@ -163,6 +163,37 @@ def test_planar_out_matches_dense(rng):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_planar_out_with_lane_tile(rng):
+    """lane_tile x planar_out combination (the campaign's ALL-gates arm):
+    the d-x kernel's pltpu.repeat expansion consumes the TRANSPOSED planar
+    cotangent — values and both grads must still match dense."""
+    n, hl, wl, c, hh, wh = 1, 6, 8, 5, 24, 32
+    x = jnp.asarray(_rand(rng, (n, hl, wl, c)))
+    flow = jnp.asarray(_rand(rng, (n, hh, wh, 2), 0.5))
+    g = jnp.asarray(_rand(rng, (n, hh, wh, c)))
+
+    def loss(xj, fj, **kw):
+        out = upsample_warp(xj, fj, interpret=True, **kw)
+        gp = jnp.transpose(g, (0, 3, 1, 2)) if kw.get("planar_out") else g
+        return jnp.vdot(out, gp)
+
+    ref = upsample_warp(x, flow, interpret=True)
+    got = upsample_warp(x, flow, interpret=True, planar_out=True,
+                        lane_tile=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref).transpose(0, 3, 1, 2),
+                               atol=1e-6, rtol=1e-6)
+    dx_r, df_r = jax.grad(loss, argnums=(0, 1))(x, flow)
+    dx_p, df_p = jax.grad(
+        lambda a, b: loss(a, b, planar_out=True, lane_tile=True),
+        argnums=(0, 1),
+    )(x, flow)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_r),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_bf16_smoke(rng):
     n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
     x = jnp.asarray(_rand(rng, (n, hl, wl, c)), jnp.bfloat16)
