@@ -139,6 +139,13 @@ def build_train_state(
     labels = generator_param_labels(
         gvars["params"], all_1x=(cfg.model == "DeeplabVGG")
     )
+    dup_mults = None
+    if getattr(cfg, "optim_dup_quirk", False):
+        from adaptsegnet_tpu.train.optim import generator_param_multiplicity
+
+        dup_mults = generator_param_multiplicity(
+            gvars["params"], all_1x=(cfg.model == "DeeplabVGG")
+        )
     gtx = make_generator_tx(
         labels,
         base_lr=cfg.learning_rate,
@@ -146,6 +153,7 @@ def build_train_state(
         weight_decay=cfg.weight_decay,
         num_steps=cfg.num_steps,
         power=cfg.power,
+        dup_mults=dup_mults,
     )
     generator = GeneratorState.create(
         gvars["params"], gvars.get("batch_stats", {}), gtx

@@ -82,6 +82,15 @@ class TrainConfig:
     # training parity; at batch 1 the statistics are per-image.
     bn_mode: str = "frozen"
 
+    # The reference's SGD param list duplicates every backbone param (once
+    # per ancestor module — model/deeplab_multi.py:212-217 iterates
+    # .modules() x .parameters()), and the torch-0.4 loop then applies the
+    # momentum+update k times per step (stem x1, bottleneck convs x3,
+    # downsample convs x4). False (default): one clean update per param,
+    # the documented intent. True: mirror the literal 0.4 dynamics the
+    # published curves were trained with (train/optim.py _kfold_trace).
+    optim_dup_quirk: bool = False
+
     # TPU-native extras (no reference counterpart).
     num_devices: int = 0          # 0 = all local devices (data-parallel mesh)
     profile_dir: str = ""         # jax.profiler trace of a few steps
@@ -173,6 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("frozen", "batch"),
                    help="backbone BN: frozen running stats (default) or the "
                         "reference's train-mode batch statistics")
+    _add_bool_flag(p, "optim-dup-quirk", d.optim_dup_quirk,
+                   "Mirror the reference's duplicate-param SGD dynamics "
+                   "(k momentum+update applications per step for the "
+                   "k-duplicated backbone params).")
     p.add_argument("--cpu", action="store_true", default=d.cpu,
                    help="choose to use cpu device.")
     p.add_argument("--num-devices", type=int, default=d.num_devices)

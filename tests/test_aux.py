@@ -71,7 +71,9 @@ def test_config_reference_flags():
         "--snapshot-dir", "/tmp/s", "--no-source-only",
         "--level", "multi-level", "--iter-size", "2",
         "--input-size", "512,256", "--source", "Synscapes",
+        "--optim-dup-quirk",
     ])
+    assert cfg.optim_dup_quirk
     assert cfg.lambda_seg == 0.2
     assert cfg.lambda_adv_target1 == 0.001
     assert cfg.gan == "Vanilla"

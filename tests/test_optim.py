@@ -1,6 +1,11 @@
 """Optimizer parity: our optax chains vs torch SGD/Adam over several steps."""
 
+import collections
+import os
+import sys
+
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -14,6 +19,7 @@ from adaptsegnet_tpu.train.optim import (
     make_discriminator_tx,
     make_generator_tx,
     generator_param_labels,
+    generator_param_multiplicity,
 )
 from adaptsegnet_tpu.train.schedule import lr_poly
 
@@ -98,6 +104,95 @@ def test_adam_matches_torch(rng):
 
     np.testing.assert_allclose(np.asarray(params["w"]), t_w.detach().numpy(),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_kfold_trace_matches_sequential_duplicates(rng):
+    """--optim-dup-quirk: the closed-form k-fold momentum equals the literal
+    torch-0.4 sequential loop over a k-duplicated param list — k repetitions
+    of {buf = m*buf + d; p -= lr_group*buf} per step with the same d
+    (reference model/deeplab_multi.py:212-217 duplication x torch 0.4
+    optim/sgd.py update loop)."""
+    base_lr, momentum, wd, num_steps, power = 0.01, 0.9, 5e-4, 100, 0.9
+    shapes = {"stem": (3,), "block": (4, 2), "down": (5,), "head": (2, 2)}
+    mults = {"stem": 1, "block": 3, "down": 4, "head": 1}
+    groups = {"stem": 1.0, "block": 1.0, "down": 1.0, "head": 10.0}
+    labels = {k: (HEAD_10X if k == "head" else BACKBONE_1X) for k in shapes}
+
+    init = {k: rng.standard_normal(s).astype(np.float32)
+            for k, s in shapes.items()}
+    params = {k: jnp.asarray(v) for k, v in init.items()}
+    tx = make_generator_tx(labels, base_lr, momentum, wd, num_steps, power,
+                           dup_mults=mults)
+    opt_state = tx.init(params)
+
+    ref_p = {k: v.astype(np.float64).copy() for k, v in init.items()}
+    ref_buf = {k: np.zeros_like(v) for k, v in ref_p.items()}
+
+    for step in range(5):
+        g = {k: rng.standard_normal(s).astype(np.float32)
+             for k, s in shapes.items()}
+        updates, opt_state = tx.update(
+            {k: jnp.asarray(v) for k, v in g.items()}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        lr = base_lr * (1 - step / num_steps) ** power
+        for k in shapes:
+            d = g[k] + wd * ref_p[k]  # fixed per step (see _kfold_trace doc)
+            for _ in range(mults[k]):
+                ref_buf[k] = momentum * ref_buf[k] + d
+                ref_p[k] = ref_p[k] - lr * groups[k] * ref_buf[k]
+
+    for k in shapes:
+        np.testing.assert_allclose(np.asarray(params[k]), ref_p[k],
+                                   rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/model"),
+    reason="reference checkout not available",
+)
+def test_param_multiplicity_matches_reference_histogram():
+    """generator_param_multiplicity reproduces the occurrence counts of the
+    reference's own optim_parameters generator, measured on the reference
+    module itself: {x1: 1 stem conv, x3: 99 bottleneck convs, x4: 4
+    downsample convs}; the 10x head group has no duplicates."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    ref = RefDeeplabMulti(num_classes=19)
+    ref_hist = collections.Counter(
+        collections.Counter(
+            id(p) for p in ref.get_1x_lr_params_NOscale()
+        ).values()
+    )
+    assert dict(ref_hist) == {1: 1, 3: 99, 4: 4}
+    assert set(
+        collections.Counter(id(p) for p in ref.get_10x_lr_params()).values()
+    ) == {1}
+
+    from adaptsegnet_tpu.models import DeeplabMulti
+
+    model = DeeplabMulti(num_classes=19)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 64, 128, 3), jnp.float32),
+    )
+    params = shapes["params"]
+    labels = generator_param_labels(params)
+    mults = generator_param_multiplicity(params)
+    hist = collections.Counter(
+        m for m, lab in zip(jax.tree.leaves(mults), jax.tree.leaves(labels))
+        if lab == BACKBONE_1X
+    )
+    assert dict(hist) == {1: 1, 3: 99, 4: 4}, dict(hist)
+    assert all(
+        m == 1
+        for m, lab in zip(jax.tree.leaves(mults), jax.tree.leaves(labels))
+        if lab == HEAD_10X
+    )
+    assert set(jax.tree.leaves(
+        generator_param_multiplicity(params, all_1x=True))) == {1}
 
 
 def test_generator_param_labels_resnet():
