@@ -206,10 +206,12 @@ def _rel_drift(final_ref, final_got, init):
     return max(diffs), max(max(moves), 1e-12)
 
 
-def test_multi_level_training_matches_reference():
+@pytest.mark.parametrize("level", ["multi-level", "single-level"])
+def test_adversarial_training_matches_reference(level):
     from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
     from model.discriminator import FCDiscriminator as RefFCDiscriminator
 
+    multi = level == "multi-level"
     torch.manual_seed(7)
     ref = RefDeeplabMulti(num_classes=19).eval()  # frozen-BN semantics
     ref_d1 = RefFCDiscriminator(num_classes=19).train()
@@ -227,7 +229,7 @@ def test_multi_level_training_matches_reference():
         ys[:, :4] = 255  # exercise ignore_label
         data.append((xs, ys, xt))
 
-    ref_losses = _run_reference_loop(ref, ref_d1, ref_d2, data)
+    ref_losses = _run_reference_loop(ref, ref_d1, ref_d2, data, multi=multi)
     sd_g_final = {k: v.detach().numpy().copy()
                   for k, v in ref.state_dict().items()}
     sd_d2_final = {k: v.detach().numpy().copy()
@@ -260,11 +262,11 @@ def test_multi_level_training_matches_reference():
         )
 
     d1_state, d2_state = d_state(sd_d1), d_state(sd_d2)
-    init_d2 = d2_state.params
+    init_d1, init_d2 = d1_state.params, d2_state.params
     state = TrainState(step=jnp.zeros((), jnp.int32), generator=gstate,
                        d1=d1_state, d2=d2_state, warper=None)
     step = make_adversarial_step(
-        model, disc, level="multi-level", gan="LS", lambda_seg=L_SEG,
+        model, disc, level=level, gan="LS", lambda_seg=L_SEG,
         lambda_adv1=L_ADV1, lambda_adv2=L_ADV2, input_hw=(H, W),
         iter_size=1, donate=False,
     )
@@ -295,3 +297,11 @@ def test_multi_level_training_matches_reference():
     # near zero the update direction is sign-like and f32 noise can flip
     # single coordinates, so the D bound is intrinsically looser than SGD's.
     assert diff_d / moved_d < 0.15, (diff_d, moved_d)
+
+    if not multi:
+        # Single-level never touches D1 (reference :385-464 only builds
+        # losses through model_D2; D1 exists but neither forwards nor
+        # steps) — its params must come through bit-identical.
+        for a, b in zip(jax.tree.leaves(state.d1.params),
+                        jax.tree.leaves(init_d1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
