@@ -65,10 +65,10 @@ def cross_entropy_2d_planar(
     valid = labels != ignore_label
     safe = jnp.where(valid, labels, 0)
     logz = jax.nn.logsumexp(logits, axis=1)
-    c = logits.shape[1]
-    oh = (safe[:, None, :, :] ==
-          jnp.arange(c, dtype=jnp.int32)[None, :, None, None])
-    picked = jnp.sum(logits * oh.astype(jnp.float32), axis=1)
+    # One-hot dot, same rationale as cross_entropy_2d above; axis=1 places
+    # the class axis on the (major) plane axis of the planar layout.
+    oh = jax.nn.one_hot(safe, logits.shape[1], axis=1, dtype=logits.dtype)
+    picked = jnp.sum(logits * oh, axis=1)
     nll = (logz - picked) * valid.astype(jnp.float32)
     count = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
     return nll.sum() / count

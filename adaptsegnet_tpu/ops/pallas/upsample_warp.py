@@ -348,19 +348,7 @@ def _sample_bwd(interpret, lane_tile, planar_out, res, g):
 
     bp = _BLOCK_FLOW
     iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
-    if pad:
-        gpad = ((0, 0), (0, 0), (0, pad)) if planar_out else \
-            ((0, 0), (0, pad), (0, 0))
-        gp = jnp.pad(gf, gpad)
-    else:
-        gp = gf
-    gspec = (
-        pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
-                     memory_space=pltpu.VMEM)
-        if planar_out else
-        pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
-                     memory_space=pltpu.VMEM)
-    )
+    gp, gspec = _pad_g_and_spec(gf, pad, c, bp, planar_out)
     nb = (p + pad) // bp
     diy, dix = pl.pallas_call(
         functools.partial(_bwd_flow_kernel, sy=sy, sx=sx, cdtype=cdtype,
@@ -397,18 +385,15 @@ def _sample_bwd(interpret, lane_tile, planar_out, res, g):
     return dx, diy, dix
 
 
-def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False,
-           planar=False):
-    """Per-batch dx: grid (n, nt); each batch's block accumulates over nt."""
-    n, hl, wl, c, hh, wh, p, sy, sx = geo
-    bp = _block(cdtype)
-    iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
+def _pad_g_and_spec(gf, pad, c, bp, planar):
+    """Pixel-pad the cotangent and pick its BlockSpec for either layout:
+    planar (n, c, p) blocks tile the minor pixel axis; dense (n, p, c)
+    blocks tile the major one. Shared by _sample_bwd and _bwd_x so the two
+    backward kernels can never read differently-padded g tensors."""
     if pad:
         gpad = ((0, 0), (0, 0), (0, pad)) if planar else \
             ((0, 0), (0, pad), (0, 0))
-        gp = jnp.pad(gf, gpad)
-    else:
-        gp = gf
+        gf = jnp.pad(gf, gpad)
     gspec = (
         pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
                      memory_space=pltpu.VMEM)
@@ -416,6 +401,16 @@ def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False,
         pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
                      memory_space=pltpu.VMEM)
     )
+    return gf, gspec
+
+
+def _bwd_x(iyf, ixf, gf, geo, cdtype, interpret, lane_tile=False,
+           planar=False):
+    """Per-batch dx: grid (n, nt); each batch's block accumulates over nt."""
+    n, hl, wl, c, hh, wh, p, sy, sx = geo
+    bp = _block(cdtype)
+    iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
+    gp, gspec = _pad_g_and_spec(gf, pad, c, bp, planar)
     nt = (p + pad) // bp
     dxf = pl.pallas_call(
         functools.partial(_bwd_x_kernel, sy=sy, sx=sx, cdtype=cdtype,

@@ -222,6 +222,9 @@ def make_adversarial_step(
     multi = level == "multi-level"
     planar = bool(getattr(warper_module, "planar_flow", False))
     bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
+    # Sampled once at step-construction time, like every other gate here
+    # (a trace-time read would re-sample on retrace).
+    blocked_s2d = os.environ.get("ADAPTSEG_D_BLOCKED_S2D", "0") == "1"
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
 
@@ -280,11 +283,8 @@ def make_adversarial_step(
                     # blocked tensor -> conv1 runs 4 K=4C dots instead of
                     # 16 K=C (conv4x4_s2d_blocked); the concat's lane
                     # shuffle is the unknown the A/B decides.
-                    blocked = (
-                        os.environ.get("ADAPTSEG_D_BLOCKED_S2D", "0") == "1"
-                    )
                     sm_of = lambda raw: upsample_softmax_s2d(
-                        raw, input_hw, blocked=blocked
+                        raw, input_hw, blocked=blocked_s2d
                     )
                     sm2_t = sm_of(raw_t[1])
                     sm2_s = sm_of(raw_s[1])
