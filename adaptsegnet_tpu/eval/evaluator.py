@@ -40,6 +40,14 @@ def make_eval_fn(
     the main output as well.
     """
 
+    return jax.jit(_make_mask_fn(model, out_hw, output_index, dtype,
+                                 use_pallas_tail))
+
+
+def _make_mask_fn(model, out_hw, output_index, dtype, use_pallas_tail):
+    """(variables, images) -> uint8 mask; the single eval forward body
+    shared by make_eval_fn and make_eval_hist_fn so the two paths cannot
+    drift."""
     # bf16 compute implies the fast resize path (throughput mode); f32 keeps
     # the exact torch-parity interpolation that gates bit-matching mIoU.
     # The fused Pallas upsample+argmax kernel (ops/pallas) wins 2.1x on the
@@ -50,8 +58,7 @@ def make_eval_fn(
         use_pallas_tail and not exact and jax.default_backend() != "cpu"
     )
 
-    @jax.jit
-    def eval_fn(variables, images):
+    def mask_fn(variables, images):
         preds = model.apply(variables, images.astype(dtype))
         pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
         if use_pallas:
@@ -61,7 +68,7 @@ def make_eval_fn(
         up = upsample_logits(pred, out_hw, exact=exact)
         return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 
-    return eval_fn
+    return mask_fn
 
 
 def make_eval_hist_fn(
@@ -70,6 +77,7 @@ def make_eval_hist_fn(
     output_index: int = 1,
     num_classes: int = 19,
     dtype=jnp.float32,
+    use_pallas_tail: bool = False,
 ) -> Callable:
     """Jitted (variables, images, labels) -> (masks uint8, hist int32).
 
@@ -82,14 +90,12 @@ def make_eval_hist_fn(
     over ICI — the TPU replacement for the reference's default multi-GPU
     DataParallel eval (evaluate_cityscapes.py:92,145-146).
     """
-    exact = dtype == jnp.float32
+    mask_fn = _make_mask_fn(model, out_hw, output_index, dtype,
+                            use_pallas_tail)
 
     @jax.jit
     def eval_hist_fn(variables, images, labels):
-        preds = model.apply(variables, images.astype(dtype))
-        pred = preds[output_index] if isinstance(preds, (tuple, list)) else preds
-        up = upsample_logits(pred, out_hw, exact=exact)
-        masks = jnp.argmax(up, axis=-1).astype(jnp.uint8)
+        masks = mask_fn(variables, images)
         return masks, fast_hist_jax(labels, masks, num_classes)
 
     return eval_hist_fn
@@ -265,12 +271,30 @@ class Evaluator:
                 image, name = item[0], item[-1]
                 return image, gt_loader(name).astype(np.int32), name
 
+        host_hist = np.zeros((self._num_classes, self._num_classes), np.int64)
         hist = None
+        pixels_pending = 0
+        batch_px = batch_size * self._out_hw[0] * self._out_hw[1]
+
+        def flush():
+            nonlocal hist, pixels_pending
+            if hist is not None:
+                host_hist[...] += np.asarray(jax.device_get(hist), np.int64)
+                hist = None
+                pixels_pending = 0
 
         def step(variables, cols):
-            nonlocal hist
+            nonlocal hist, pixels_pending
             masks, h = self._hist_fn(variables, cols[0], cols[1])
             hist = h if hist is None else hist + h
+            pixels_pending += batch_px
+            # The device-side counts are int32; a cell can't exceed the
+            # pixels accumulated since the last flush, so spilling to the
+            # host int64 matrix before 2^30 pending pixels keeps them exact
+            # (x64 is disabled, so there is no device int64 to lean on).
+            # The device_get sync happens every ~512 full-res bs-1 batches.
+            if pixels_pending >= (1 << 30) - batch_px:
+                flush()
             return masks
 
         self._stream(
@@ -282,9 +306,8 @@ class Evaluator:
             ),
             step=step,
         )
-        return np.zeros(
-            (self._num_classes, self._num_classes), np.int64
-        ) if hist is None else np.asarray(jax.device_get(hist)).astype(np.int64)
+        flush()
+        return host_hist
 
     def _save_mask(self, mask, name):
         from PIL import Image

@@ -59,7 +59,10 @@ def supported(x: jnp.ndarray, cout: int) -> bool:
     return (
         x.dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
-        and (4 * c) % 128 == 0
+        # _build_b's in-kernel concat of two (.., 2C) operands along the
+        # lane axis needs 2C lane-aligned (c=32 would pass a 4C check but
+        # hand Mosaic a 64-lane concat).
+        and (2 * c) % 128 == 0
         and cout % 128 == 0
         and r >= 2
     )
@@ -76,7 +79,6 @@ def _build_b(s0, s1, r, c):
     unsupported Mosaic shape cast when C is not lane-aligned). Here only
     major-dim row splits and a lane-aligned (2C % 128 == 0) concat remain.
     """
-    rows = r + 1
     p0 = s0.reshape(r, 2, s0.shape[1], 2 * c)
     p1 = s1.reshape(r, 2, s1.shape[1], 2 * c)
     halves = []

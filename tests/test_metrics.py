@@ -38,6 +38,30 @@ def test_jax_hist_matches_numpy(rng):
     np.testing.assert_array_equal(h_np, h_jx)
 
 
+def test_jax_hist_chunked_scan_matches_numpy(rng):
+    """Flat inputs longer than _chunk take the int32-scan path (incl. the
+    invalid-id tail padding); counts must still match numpy exactly."""
+    n = 1000
+    label = rng.integers(0, 19, size=(n,)).astype(np.int32)
+    label[rng.uniform(size=n) < 0.2] = 255
+    pred = rng.integers(0, 19, size=(n,)).astype(np.int32)
+    h_np = fast_hist(label, pred, 19)
+    h_jx = np.asarray(fast_hist_jax(jnp.asarray(label), jnp.asarray(pred),
+                                    19, _chunk=128))
+    np.testing.assert_array_equal(h_np, h_jx)
+
+
+def test_jax_hist_batched_per_item_matches_flat(rng):
+    """ndim>=2 inputs reduce per leading-axis item (the f32-exactness /
+    mesh-friendly path); the counts equal the flat formulation."""
+    label = rng.integers(0, 19, size=(4, 17, 23)).astype(np.int32)
+    label[rng.uniform(size=label.shape) < 0.2] = 255
+    pred = rng.integers(0, 19, size=(4, 17, 23)).astype(np.int32)
+    h_np = fast_hist(label, pred, 19)
+    h_jx = np.asarray(fast_hist_jax(jnp.asarray(label), jnp.asarray(pred), 19))
+    np.testing.assert_array_equal(h_np, h_jx)
+
+
 def test_label_mapping_masks_on_input():
     mapping = np.array([[7, 0], [8, 1], [0, 255]])
     arr = np.array([7, 8, 0, 3])
