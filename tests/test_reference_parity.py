@@ -359,3 +359,85 @@ def test_full_protocol_mask_parity_512x1024():
     # >= 99.99% of pixels (ties flip only where logits are ~equal, which
     # cannot move mIoU at the reported 0.1 precision).
     assert mismatch / total < 1e-4, (mismatch, total)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_PARITY"),
+    reason="full-protocol trained-weights parity is slow (~10 min CPU); "
+           "opt in with RUN_SLOW_PARITY=1",
+)
+def test_full_protocol_mask_parity_trained_weights(tmp_path):
+    """Arm (b) of the f32 precision decision (see ops/precision.py): the
+    full eval protocol on TRAINED weights. Random init is tie-dominated
+    (near-zero logits), the worst case for precision-induced argmax flips;
+    released checkpoints have confident margins. Here we briefly train our
+    model (hot LR so margins grow fast), export the weights BACK to a torch
+    state dict through the real .pth path (variables_to_resnet_state_dict),
+    load them into the reference's own module, and assert mask equality at
+    the real protocol size (evaluate_cityscapes.py:150-169). Run under both
+    ADAPTSEG_F32_PRECISION settings to decide the f32-eval default."""
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    from adaptsegnet_tpu.train.build import build_train_state
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.steps import make_source_only_step
+
+    Ht, Wt = 128, 256  # training size (weights are size-agnostic)
+    cfg = TrainConfig(
+        source_only=True, warper=False, restore_from="",
+        input_size=f"{Wt},{Ht}", num_steps=100, learning_rate=0.02,
+    )
+    state, modules = build_train_state(cfg, example_hw=(Ht, Wt))
+    step_fn = make_source_only_step(
+        modules["model"], None, input_hw=(Ht, Wt), iter_size=1, donate=False,
+    )
+    # Spatially structured 4-class labels: CE collapses onto them quickly,
+    # giving confident (checkpoint-like) margins after a few hot steps.
+    rng = np.random.default_rng(7)
+    labels = np.zeros((Ht, Wt), np.int32)
+    labels[: Ht // 2, : Wt // 2] = 0
+    labels[: Ht // 2, Wt // 2:] = 5
+    labels[Ht // 2:, : Wt // 2] = 11
+    labels[Ht // 2:, Wt // 2:] = 13
+    batch = {
+        "images": jnp.asarray(
+            rng.standard_normal((1, 1, Ht, Wt, 3)), jnp.float32
+        ),
+        "labels": jnp.asarray(labels[None, None], jnp.int32),
+    }
+    loss0 = None
+    for _ in range(25):
+        state, metrics = step_fn(state, batch)
+        if loss0 is None:
+            loss0 = float(metrics["loss_seg2"])
+    lossN = float(metrics["loss_seg2"])
+    assert lossN < loss0, (loss0, lossN)  # margins actually grew
+
+    trained = {
+        "params": state.generator.params,
+        "batch_stats": state.generator.batch_stats,
+    }
+    sd = pth_interop.variables_to_resnet_state_dict(trained)
+    ref = RefDeeplabMulti(num_classes=19).eval()
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    )
+
+    Hf, Wf = 512, 1024
+    x = np.random.default_rng(11).standard_normal(
+        (1, Hf, Wf, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, r2 = ref(torch.from_numpy(x).permute(0, 3, 1, 2), (2048, 1024))
+    ref_mask = r2.permute(0, 2, 3, 1).numpy().argmax(-1).astype(np.uint8)
+
+    model = modules["model"]
+
+    @jax.jit
+    def eval_fn(variables, images):
+        _, p2 = model.apply(variables, images)
+        up = upsample_logits(p2, (1024, 2048), exact=True)
+        return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+    mask = np.asarray(eval_fn(trained, jnp.asarray(x)))
+    mismatch = int((mask != ref_mask).sum())
+    assert mismatch / mask.size < 1e-4, (mismatch, mask.size)
