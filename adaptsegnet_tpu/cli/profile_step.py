@@ -45,6 +45,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from adaptsegnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from adaptsegnet_tpu.train.build import build_train_state
     from adaptsegnet_tpu.train.config import TrainConfig
     from adaptsegnet_tpu.train.steps import (

@@ -15,6 +15,9 @@ from adaptsegnet_tpu.train.loop import train
 def main(argv=None):
     cfg = parse_args(argv)
     np.random.seed(cfg.random_seed)
+    from adaptsegnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     summary = train(cfg)
     return summary
 

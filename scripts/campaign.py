@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""On-chip perf campaign: 3-run medians + the five opt-in gate A/Bs.
+
+Runs bench.py worker modes sequentially (one process at a time — this box
+has one CPU core and one tunneled TPU chip), collects each run's JSON line,
+and writes medians to scripts/campaign_results.json incrementally, so a
+tunnel wedge mid-campaign keeps everything measured so far.
+
+Gate discipline (ROADMAP.md / ops NOTEs): only IN-STEP bench.py numbers
+flip a gate's default. Each gate is A/B'd against the baseline arm of the
+train mode it affects:
+
+  ADAPTSEG_PALLAS_CONV3X3_D1  -> multi-level      (layer2 VJP conv3x3)
+  ADAPTSEG_D_BLOCKED_S2D      -> multi-level      (D conv1 blocked-4C input)
+  ADAPTSEG_STEM_WGRAD_RP      -> multi-level      (stem wgrad s2d shuffle)
+  ADAPTSEG_WARP_LANE_TILE     -> source-only-warper (warp dx g-expansion)
+  ADAPTSEG_WARP_PLANAR_CE     -> source-only-warper (planar warp output+CE)
+
+Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+OUT = os.path.join(REPO, "scripts", "campaign_results.json")
+
+
+def log(msg):
+    print(f"[campaign {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def run_bench(argv, env_extra, timeout_s=2400):
+    env = dict(os.environ, **env_extra)
+    try:
+        r = subprocess.run([sys.executable, BENCH] + argv,
+                           capture_output=True, text=True,
+                           timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        log(f"TIMEOUT: {argv} {env_extra}")
+        return None
+    if r.returncode != 0:
+        log(f"rc={r.returncode}: {argv} {env_extra}: "
+            f"{(r.stderr or '').strip().splitlines()[-2:]}")
+        return None
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)["value"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return None
+
+
+def median_of(argv, env_extra, runs):
+    vals = []
+    for i in range(runs):
+        v = run_bench(argv, env_extra)
+        log(f"  run {i + 1}/{runs}: {v}")
+        if v is not None:
+            vals.append(v)
+    return (round(statistics.median(vals), 2) if vals else None), vals
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--quick", action="store_true",
+                   help="1 run per config (gate screening)")
+    p.add_argument("--only", default="",
+                   help="comma list of result keys to (re)run")
+    args = p.parse_args()
+    runs = 1 if args.quick else args.runs
+    it = str(args.iters)
+
+    train = ["--train", "--iters", it, "--mode"]
+    ml, sow = train + ["multi-level"], train + ["source-only-warper"]
+    configs = [
+        # (key, argv, env)
+        ("train_multilevel_bf16_bs1_ms", ml, {}),
+        ("ml_gate_conv3x3_d1", ml, {"ADAPTSEG_PALLAS_CONV3X3_D1": "1"}),
+        ("ml_gate_d_blocked_s2d", ml, {"ADAPTSEG_D_BLOCKED_S2D": "1"}),
+        ("ml_gate_stem_wgrad_rp", ml, {"ADAPTSEG_STEM_WGRAD_RP": "1"}),
+        ("train_sourceonly_warper_bf16_bs1_ms", sow, {}),
+        ("sow_gate_warp_lane_tile", sow, {"ADAPTSEG_WARP_LANE_TILE": "1"}),
+        ("sow_gate_warp_planar_ce", sow, {"ADAPTSEG_WARP_PLANAR_CE": "1"}),
+        ("train_singlelevel_bf16_bs1_ms", train + ["single-level"], {}),
+        ("train_sourceonly_bf16_bs1_ms", train + ["source-only"], {}),
+        ("eval_bf16_bs1_img_per_s",
+         ["--eval-only", "--batch", "1", "--iters", "30"], {}),
+        ("eval_bf16_bs8_img_per_s",
+         ["--eval-only", "--batch", "8", "--iters", "30"], {}),
+        ("eval_f32_parity_bs1_img_per_s",
+         ["--eval-only", "--dtype", "float32", "--batch", "1",
+          "--iters", it], {}),
+        # Verdict item 4's perf arm: the f32 eval path at HIGH matmul
+        # precision (mask-parity evidence lives in the RUN_SLOW_PARITY test).
+        ("eval_f32_high_bs1_img_per_s",
+         ["--eval-only", "--dtype", "float32", "--batch", "1",
+          "--iters", it], {"ADAPTSEG_F32_PRECISION": "high"}),
+    ]
+    only = {k for k in args.only.split(",") if k}
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    for key, argv, env in configs:
+        if only and key not in only:
+            continue
+        if not only and key in results and results[key].get("median"):
+            log(f"{key}: already have {results[key]['median']}, skipping")
+            continue
+        log(f"{key}: {argv} {env}")
+        med, vals = median_of(argv, env, runs)
+        results[key] = {"median": med, "runs": vals, "env": env,
+                        "iters": args.iters,
+                        "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+        log(f"{key}: median {med}")
+    log(f"done -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
