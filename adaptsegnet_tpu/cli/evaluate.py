@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -124,12 +125,17 @@ def main(argv=None):
         # before first backend use (platform selection is process-wide).
         jax.config.update("jax_platforms", "cpu")
         if jax.devices()[0].platform != "cpu":
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "--cpu requested but the %s backend is already initialized; "
-                "continuing on it", jax.devices()[0].platform,
+            # Operator-facing: the CLIs configure no logging handler, so a
+            # module-logger warning would be silently dropped (advisor r3).
+            print(
+                f"WARNING: --cpu requested but the "
+                f"{jax.devices()[0].platform} backend is already "
+                "initialized; continuing on it",
+                file=sys.stderr,
             )
+    from adaptsegnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     os.makedirs(args.save, exist_ok=True)
     model, output_index, loader = build_model(args)
 

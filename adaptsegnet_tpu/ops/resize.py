@@ -174,6 +174,14 @@ def upsample_softmax_s2d(
     """
     n, h, w, c = logits.shape
     oh, ow = out_hw
+    # The pad masking below assumes even out_hw: with an odd dim the
+    # parity-1 phase's last row/col would hold VALID data (src = out-1) yet
+    # be zeroed, silently corrupting the discriminator input. The 4x4/s2
+    # consumer requires even dims anyway, so fail loudly (advisor r3).
+    if oh % 2 or ow % 2:
+        raise ValueError(
+            f"upsample_softmax_s2d requires even out_hw, got {out_hw}"
+        )
     x = logits
     # f32 inputs keep the f32-parity matmul precision (the dense path this
     # replaces resizes at F32_PRECISION via upsample_logits(exact=True);
