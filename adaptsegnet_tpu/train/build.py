@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os.path as osp
+import sys
 from typing import Optional
 
 import jax
@@ -117,6 +118,13 @@ def restore_generator(cfg: TrainConfig, variables):
         return variables, False
     n_merged = len(jax.tree_util.tree_leaves(partial))
     n_total = len(jax.tree_util.tree_leaves(variables))
+    # print (not a bare module logger): the CLIs configure no logging
+    # handler, and this restore count is the operator's only confirmation
+    # that --restore-from actually loaded something (advisor r3).
+    print(
+        f"restored {n_merged}/{n_total} arrays from {cfg.restore_from}",
+        file=sys.stderr,
+    )
     logging.getLogger(__name__).info(
         "restored %d/%d arrays from %s", n_merged, n_total, cfg.restore_from
     )
@@ -182,7 +190,8 @@ def build_train_state(
         # a 2-channel NHWC conv output costs its consumers ~10 ms/step of
         # strided relayout on TPU (ops/planar_out_conv.py). Same params
         # and values; the fused warp kernel consumes planes natively.
-        warper = Warper(norm=cfg.warper_norm, dtype=dtype, planar_flow=True)
+        warper = Warper(norm=cfg.warper_norm, num_layers=cfg.warper_num_layers,
+                        dtype=dtype, planar_flow=True)
         modules["warper"] = warper
         wx = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
         wvars = warper.init(kw, wx)

@@ -59,6 +59,10 @@ class TrainConfig:
     not_restore_last: bool = False
     warper: bool = True
     warper_norm: str = "Batch"  # Batch | Instance | Spectral
+    # Encoder depth (reference warper.py:217 num_layers=8, x512 downsample;
+    # needs H,W multiples of 256). Smaller values keep the same architecture
+    # at tiny dryrun/test shapes (5 -> x32 latent downsample).
+    warper_num_layers: int = 8
 
     # Bookkeeping.
     random_seed: int = 1338
@@ -178,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "warper", d.warper, "Enable the flow-field Warper.")
     p.add_argument("--warper-norm", type=str, default=d.warper_norm,
                    help="Warper norm layer: Batch / Instance / Spectral")
+    p.add_argument("--warper-num-layers", type=int, default=d.warper_num_layers,
+                   help="Warper encoder depth (reference default 8; smaller "
+                        "for sub-256-multiple input sizes)")
     p.add_argument("--bn-mode", type=str, default=d.bn_mode,
                    choices=("frozen", "batch"),
                    help="backbone BN: frozen running stats (default) or the "
