@@ -439,5 +439,20 @@ def test_full_protocol_mask_parity_trained_weights(tmp_path):
         return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 
     mask = np.asarray(eval_fn(trained, jnp.asarray(x)))
-    mismatch = int((mask != ref_mask).sum())
-    assert mismatch / mask.size < 1e-4, (mismatch, mask.size)
+    flips = mask != ref_mask
+    mismatch = int(flips.sum())
+    # This setup is MORE tie-dominated than random init (measured: our
+    # logits match torch to 3.3e-6 max-abs, yet 6.5k pixels flip because
+    # torch's own top1-top2 margin there is <= 2.9e-6 — 25 hot steps on 4
+    # classes leave the other 15 logit rows near-identical, creating
+    # exact-tie plains). So assert the stronger, setup-independent
+    # statement: any flip at a pixel where torch itself had a REAL margin
+    # is a genuine parity bug; tie flips (margin ~ f32 rounding of O(6)
+    # logits) are unavoidable across BLAS summation orders.
+    ref_up = r2.permute(0, 2, 3, 1).numpy()
+    srt = np.sort(ref_up, axis=-1)
+    margin = (srt[..., -1] - srt[..., -2])[flips]
+    if mismatch:
+        assert float(margin.max()) < 1e-4, (
+            "flip at a non-tied pixel", mismatch, float(margin.max()))
+    assert mismatch / mask.size < 1e-2, (mismatch, mask.size)
