@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""On-chip decider for the f32-eval MXU precision default (ops/precision.py).
+
+The CPU experiment cannot decide this: XLA:CPU computes f32 matmuls in true
+f32 regardless of jax.lax.Precision, so HIGH and HIGHEST are bit-identical
+there (measured round 4 — identical flip sets). Only the real MXU limb
+emulation differs between the two. This script runs the full eval protocol
+(f32 forward at 512x1024 -> exact align-corners upsample to 1024x2048 ->
+argmax; reference evaluate_cityscapes.py:150-169) on the TPU under both
+settings, on briefly-trained (checkpoint-margin-like) weights, and compares
+masks against the torch-CPU reference mask with torch's own top1-top2
+margin at every flip.
+
+Decision rule (VERDICT r3 item 4): if HIGH's flips vs torch are confined to
+torch-tie pixels (margin < 1e-4) and are no worse than HIGHEST's, HIGH can
+become the f32-eval default (34 -> 81 img/s); otherwise record the flipping
+margin distribution in the ops/precision.py NOTE.
+
+Phases (run sequentially; each owns the chip or the CPU exclusively):
+  prepare    25 hot source-only train steps on the chip at 128x256, export
+             weights through the real .pth path, then the torch f32 forward
+             on CPU (~5 min) -> /tmp/f32exp/{weights.npz,ref_mask.npy,
+             ref_margin.npy,x.npy}
+  evalmask --precision {highest,high}
+             jit the f32 eval on the chip under that precision, save mask
+  compare    print one JSON verdict line
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+WORK = "/tmp/f32exp"
+
+
+def _train_and_export():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaptsegnet_tpu.train.build import build_train_state
+    from adaptsegnet_tpu.train.config import TrainConfig
+    from adaptsegnet_tpu.train.steps import make_source_only_step
+    from adaptsegnet_tpu.utils import pth_interop
+    from adaptsegnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    Ht, Wt = 128, 256
+    cfg = TrainConfig(source_only=True, warper=False, restore_from="",
+                      input_size=f"{Wt},{Ht}", num_steps=100,
+                      learning_rate=0.02)
+    state, modules = build_train_state(cfg, example_hw=(Ht, Wt))
+    step_fn = make_source_only_step(modules["model"], None,
+                                    input_hw=(Ht, Wt), iter_size=1,
+                                    donate=False)
+    # Spatially structured labels -> confident margins fast (same recipe as
+    # tests/test_reference_parity.py trained-weights arm).
+    rng = np.random.default_rng(7)
+    labels = np.zeros((Ht, Wt), np.int32)
+    labels[: Ht // 2, Wt // 2:] = 5
+    labels[Ht // 2:, : Wt // 2] = 11
+    labels[Ht // 2:, Wt // 2:] = 13
+    batch = {
+        "images": jnp.asarray(rng.standard_normal((1, 1, Ht, Wt, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(labels[None, None], jnp.int32),
+    }
+    loss0 = None
+    for _ in range(25):
+        state, metrics = step_fn(state, batch)
+        if loss0 is None:
+            loss0 = float(metrics["loss_seg2"])
+    lossN = float(metrics["loss_seg2"])
+    print(f"[prepare] loss {loss0:.4f} -> {lossN:.4f}", flush=True)
+    assert lossN < loss0, "training did not reduce loss"
+
+    trained = {"params": state.generator.params,
+               "batch_stats": state.generator.batch_stats}
+    sd = pth_interop.variables_to_resnet_state_dict(trained)
+    np.savez(os.path.join(WORK, "weights.npz"), **sd)
+
+    x = np.random.default_rng(11).standard_normal(
+        (1, 512, 1024, 3)).astype(np.float32)
+    np.save(os.path.join(WORK, "x.npy"), x)
+
+
+def _torch_reference():
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
+
+    sd = dict(np.load(os.path.join(WORK, "weights.npz")))
+    x = np.load(os.path.join(WORK, "x.npy"))
+    ref = RefDeeplabMulti(num_classes=19).eval()
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    )
+    with torch.no_grad():
+        _, r2 = ref(torch.from_numpy(x).permute(0, 3, 1, 2), (2048, 1024))
+    up = r2.permute(0, 2, 3, 1).numpy()
+    mask = up.argmax(-1).astype(np.uint8)
+    srt = np.sort(up, axis=-1)
+    margin = (srt[..., -1] - srt[..., -2]).astype(np.float32)
+    np.save(os.path.join(WORK, "ref_mask.npy"), mask)
+    np.save(os.path.join(WORK, "ref_margin.npy"), margin)
+    print(f"[prepare] torch mask ready; median margin "
+          f"{float(np.median(margin)):.4g}", flush=True)
+
+
+def cmd_prepare(_args):
+    os.makedirs(WORK, exist_ok=True)
+    _train_and_export()
+    _torch_reference()
+
+
+def cmd_evalmask(args):
+    # Must be set before any adaptsegnet import (read at import time).
+    os.environ["ADAPTSEG_F32_PRECISION"] = args.precision
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaptsegnet_tpu.eval.evaluator import make_eval_fn
+    from adaptsegnet_tpu.models import DeeplabMulti
+    from adaptsegnet_tpu.utils import pth_interop
+    from adaptsegnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    sd = dict(np.load(os.path.join(WORK, "weights.npz")))
+    x = np.load(os.path.join(WORK, "x.npy"))
+
+    model = DeeplabMulti(num_classes=19)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 512, 1024, 3)))
+    variables = pth_interop.merge_variables(
+        variables, pth_interop.resnet_state_dict_to_variables(sd))
+    eval_fn = make_eval_fn(model, out_hw=(1024, 2048), output_index=1,
+                           dtype=jnp.float32)
+    mask = np.asarray(eval_fn(variables, jnp.asarray(x))).astype(np.uint8)
+    np.save(os.path.join(WORK, f"mask_{args.precision}.npy"), mask)
+    print(f"[evalmask] {args.precision} done on "
+          f"{jax.default_backend()}", flush=True)
+
+
+def cmd_compare(_args):
+    import numpy as np
+
+    ref_mask = np.load(os.path.join(WORK, "ref_mask.npy"))
+    margin = np.load(os.path.join(WORK, "ref_margin.npy"))
+    out = {}
+    for prec in ("highest", "high"):
+        path = os.path.join(WORK, f"mask_{prec}.npy")
+        if not os.path.exists(path):
+            out[prec] = None
+            continue
+        mask = np.load(path)
+        if mask.shape != ref_mask.shape:
+            mask = mask.reshape(ref_mask.shape)
+        flips = mask != ref_mask
+        n = int(flips.sum())
+        out[prec] = {
+            "flips": n,
+            "rate": round(n / mask.size, 8),
+            "max_torch_margin_at_flip":
+                float(margin[flips].max()) if n else 0.0,
+            "flips_at_real_margin_gt_1e-4":
+                int((margin[flips] > 1e-4).sum()) if n else 0,
+        }
+    hi = os.path.join(WORK, "mask_high.npy")
+    hst = os.path.join(WORK, "mask_highest.npy")
+    if os.path.exists(hi) and os.path.exists(hst):
+        out["high_vs_highest_flips"] = int(
+            (np.load(hi) != np.load(hst)).sum())
+    print(json.dumps(out))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("prepare").set_defaults(fn=cmd_prepare)
+    ev = sub.add_parser("evalmask")
+    ev.add_argument("--precision", required=True,
+                    choices=["highest", "high"])
+    ev.set_defaults(fn=cmd_evalmask)
+    sub.add_parser("compare").set_defaults(fn=cmd_compare)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
