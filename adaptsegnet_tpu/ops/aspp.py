@@ -15,10 +15,12 @@ work that XLA fuses. Same FLOPs, ~6x better MXU shape.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from adaptsegnet_tpu.ops.precision import F32_PRECISION
 
@@ -51,11 +53,83 @@ def _prec(dtype):
     return F32_PRECISION if dtype == jnp.float32 else None
 
 
+_K_PAD = 32  # aligned-fwd column-block width: 19 -> 32 (sublane multiple)
+
+
+def _env_aligned_fwd() -> bool:
+    """OPT-IN (flip only on an in-step bench.py --train win, the
+    ops/conv3x3.py NOTE discipline): replace the forward's 36 partial-lane
+    19-wide shift-ADDS into the (…, 19) accumulator — the r2-documented
+    pathological pattern (RMW on 15%-occupied lane tiles) — with the
+    backward's proven structure: 32-aligned column blocks, one lane-concat
+    of the shifted blocks, and a single 0/1 selector matmul to sum them.
+    The r3 step ledger bills 'ASPP dots' 1.3 ms vs a ~0.5 ms roofline;
+    this targets that gap's layout half. bf16 TPU path only (the f32
+    parity path keeps the original summation order)."""
+    return os.environ.get("ADAPTSEG_ASPP_ALIGNED", "0") == "1"
+
+
+def _pack_aspp_weights_padded(kernels, k_pad):
+    """pack_aspp_weights with each (C, K) column block zero-padded to
+    k_pad columns, so every tap block sits at a k_pad-aligned lane
+    offset."""
+    cols = []
+    for w in kernels:
+        kh, kw, c, k = w.shape
+        assert (kh, kw) == (3, 3)
+        for ky in range(3):
+            for kx in range(3):
+                cols.append(jnp.pad(w[ky, kx], ((0, 0), (0, k_pad - k))))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _aspp_fwd_aligned(x, kernels, biases, dils, k_out, prec):
+    """Aligned forward: y blocks at 32-lane offsets, shifted blocks
+    lane-concatenated once, summed by one (n*9*32, K) 0/1 selector matmul
+    (plus bias). Same math as _aspp_fwd_impl up to summation order."""
+    n_taps = len(dils) * 9
+    wcat = _pack_aspp_weights_padded(kernels, _K_PAD)  # (C, n*9*32)
+    y = jax.lax.dot_general(
+        x, wcat.astype(x.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(x.dtype)  # one extra rounding in bf16; f32 stays f32
+
+    shifted = []
+    col = 0
+    for d in dils:
+        for ky in (-1, 0, 1):
+            for kx in (-1, 0, 1):
+                sl = jax.lax.slice_in_dim(
+                    y, col * _K_PAD, (col + 1) * _K_PAD, axis=3)
+                shifted.append(_shift2d(sl, ky * d, kx * d))
+                col += 1
+    ycat = jnp.concatenate(shifted, axis=-1)  # (N, H, W, n*9*32), aligned
+
+    sel = np.kron(np.ones((n_taps, 1), np.float32),
+                  np.eye(_K_PAD, dtype=np.float32)[:, :k_out])
+    out = jax.lax.dot_general(
+        ycat, jnp.asarray(sel, x.dtype),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (N, H, W, K) f32
+    for b in biases:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def _aspp_fwd_impl(x, kernels, biases, dilations, n_sum):
     kernels = list(kernels)[:n_sum]
     biases = list(biases)[:n_sum]
     dils = list(dilations)[:n_sum]
     k_out = kernels[0].shape[-1]
+
+    if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and _env_aligned_fwd()):
+        return _aspp_fwd_aligned(x, kernels, biases, dils, k_out,
+                                 _prec(x.dtype))
 
     wcat = pack_aspp_weights(kernels)  # (C, n*9*K)
     y = jax.lax.dot_general(

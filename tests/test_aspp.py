@@ -106,3 +106,24 @@ def test_classifier_module_param_layout_unchanged(rng):
     assert set(p) == {f"branch{i}" for i in range(4)}
     assert p["branch0"]["conv"]["kernel"].shape == (3, 3, 64, 19)
     assert p["branch3"]["conv"]["bias"].shape == (19,)
+
+
+def test_aspp_aligned_fwd_matches_base(rng):
+    """The ADAPTSEG_ASPP_ALIGNED forward (32-padded column blocks, one
+    lane-concat of shifted blocks, 0/1 selector matmul) == the base
+    shift-add forward up to f32 summation-order rounding."""
+    from adaptsegnet_tpu.ops.aspp import _aspp_fwd_aligned, _aspp_fwd_impl
+
+    c, k = 32, 19
+    x = jnp.asarray(rng.standard_normal((1, 12, 16, c), dtype=np.float32))
+    kernels = [jnp.asarray(
+        rng.standard_normal((3, 3, c, k)).astype(np.float32) * 0.1)
+        for _ in range(4)]
+    biases = [jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+              for _ in range(4)]
+    dils = (2, 4, 6, 8)
+    base = np.asarray(_aspp_fwd_impl(x, kernels, biases, dils, 4))
+    aligned = np.asarray(
+        _aspp_fwd_aligned(x, list(kernels), list(biases), list(dils), k,
+                          None))
+    np.testing.assert_allclose(aligned, base, rtol=1e-5, atol=1e-5)
