@@ -217,15 +217,18 @@ def _stem_bwd(f32_exact, res, dy):
     hb, wb = xp.shape[1] // 2, xp.shape[2] // 2
     dyf = dy.reshape(-1, cout)
     dk8 = [[None] * 4 for _ in range(4)]
-    if os.environ.get("ADAPTSEG_STEM_WGRAD_RP", "0") == "1":
-        # OPT-IN (flip only on an in-step bench.py --train win): build the
+    if os.environ.get("ADAPTSEG_STEM_WGRAD_RP", "1") == "1":
+        # DEFAULT since the r4 on-chip A/B (3-run medians, in-step
+        # bench.py --train multi-level: 44.76 ms vs 45.73 ms base —
+        # scripts/campaign_results.json 2026-08-19): build the
         # s2d slices per ROW parity — a major-axis strided slice plus a
         # contiguous (W, C) -> (W/2, 2C) flatten, both cheap — instead of
         # the 6D reshape+transpose of the RGB-minor image, which the step
         # profile pins at ~1.5 ms/step (transpose(jvp)/backbone/
         # {reshape,transpose}) across the two backward passes. Costs 32
         # K=2C dots instead of 16 K=4C (one extra streaming pass set,
-        # ~0.27 ms) against the ~1.5 ms shuffle it deletes.
+        # ~0.27 ms) against the ~1.5 ms shuffle it deletes. Set =0 to
+        # A/B the original 6D-shuffle build.
         x2r = [
             xp[:, a::2].reshape(n, hb, wb, 2 * c) for a in (0, 1)
         ]  # x2r[a][u, v, (b, c)] = xpad[2u + a, 2v + b, c]

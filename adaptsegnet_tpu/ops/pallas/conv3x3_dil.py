@@ -5,13 +5,13 @@ d=4 C=512 at 64x128 bs-1 feature maps; reference model/deeplab_multi.py:
 59-103 bottlenecks with the stride->dilation surgery) run 4-10x off
 roofline in XLA's conv emitter inside the fused train step — profiled at
 0.77 ms fwd / 2.0 ms dgrad per layer4 conv where the MXU roofline is
-~0.2 ms (38.7 GFLOP at bs1). d=1 covers layer2's stride-1 bottleneck
-convs (C=128) on the same VJP-only path (layer1 at C=64 stays XLA — the
-gate needs lane-aligned channels). d=1 is OPT-IN via
-ADAPTSEG_PALLAS_CONV3X3_D1=1 until an in-step A/B on the real chip
-decides the default: the r2/r3 lesson is that standalone-winning
-lowerings can lose 10-36 ms once XLA's layout assignment reacts
-(ops/conv3x3.py NOTE), so only `bench.py --train` numbers flip gates.
+~0.2 ms (38.7 GFLOP at bs1). The kernel also supports d=1 (layer2's
+stride-1 bottleneck convs, C=128), but layer2 stays on XLA: the r4
+on-chip A/B measured the d=1 route at 47.55 ms vs 45.73 ms base in the
+fused multi-level step (see `supported`) — the recurring lesson that
+standalone-winning lowerings can lose 10-36 ms once XLA's layout
+assignment reacts (ops/conv3x3.py NOTE); only `bench.py --train`
+numbers flip lowering choices.
 
 The TPU-native lowering: out[r, v] = sum_{dy,dx} x_pad[r + dy*d, v + dx*d]
 @ K[dy, dx] — nine (R*W, C) @ (C, C) matmuls per R-row block, with every
@@ -73,10 +73,15 @@ def supported(x: jnp.ndarray, cout: int, dilation: int) -> bool:
     XLA conv; other backends keep XLA.)"""
     n, h, w, cin = x.shape
     d = dilation
-    if d not in (1, 2, 4):
+    if d not in (2, 4):
+        # d=1 (layer2 C=128) LOST its r4 on-chip A/B: in-step bench.py
+        # --train multi-level 47.55 ms vs 45.73 ms base (3-run medians,
+        # scripts/campaign_results.json 2026-08-19) — at C=128 the r=8 row
+        # blocking re-reads each row slab ~3x while XLA's native conv
+        # doesn't, and the win the kernel shows standalone inverts in-step
+        # (the recurring ops/conv3x3.py NOTE lesson). layer2 stays XLA;
+        # the kernel itself still supports d=1 for direct use/tests.
         return False
-    if d == 1 and os.environ.get("ADAPTSEG_PALLAS_CONV3X3_D1", "0") != "1":
-        return False  # pending in-step A/B (see module docstring)
     r = 2 * d if 2 * d >= 8 else 8
     return (
         x.dtype == jnp.bfloat16

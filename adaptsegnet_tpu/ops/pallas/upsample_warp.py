@@ -80,13 +80,15 @@ _BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
 
 
 def _env_lane_tile() -> bool:
-    """OPT-IN until an in-step A/B on the real chip (ops/conv3x3.py NOTE:
-    standalone wins have lost 10-36 ms in the fused step before —
-    only bench.py --train numbers flip gates): replace _bwd_x_kernel's
-    g-expansion matmul (K=19 -> ~15% MXU utilization, ~0.8 ms effective
-    at 512x1024) with a pltpu.repeat lane tile (VPU). Also pending a
-    Mosaic support check on-chip for lane repeats at C=19."""
-    return os.environ.get("ADAPTSEG_WARP_LANE_TILE", "0") == "1"
+    """Lane-tile dx path LOST its r4 on-chip A/B: in-step bench.py --train
+    source-only-warper 35.44 ms vs 32.30 ms base (3-run medians,
+    scripts/campaign_results.json 2026-08-19) — the pltpu.repeat lane tile
+    moves the g-expansion from MXU to VPU and the VPU is the kernel's
+    bottleneck, so it slows the whole dx pass (the recurring
+    ops/conv3x3.py NOTE lesson: only in-step numbers flip lowerings).
+    The lane_tile=True kernel variant stays for direct use/tests; the env
+    gate is retired — default path always uses the expansion matmul."""
+    return False
 
 
 def _block(cdtype):
@@ -496,8 +498,8 @@ def upsample_warp(
     backends it falls back to the unfused XLA composition — same math,
     different summation order (float-tolerance equivalent).
 
-    `lane_tile` defaults to the ADAPTSEG_WARP_LANE_TILE opt-in env gate
-    (see _env_lane_tile); pass explicitly in tests.
+    `lane_tile` defaults to False (it lost its in-step A/B — see
+    _env_lane_tile's NOTE); pass lane_tile=True explicitly in tests.
 
     `planar_out=True` returns (N, C, H, W) channel planes: same values,
     but the kernels store/load transposed blocks so no (N, H, W, 19)

@@ -125,14 +125,16 @@ def make_source_only_step(
     """
     planar = bool(getattr(warper_module, "planar_flow", False))
     bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
-    # OPT-IN (flip only on an in-step bench.py --train win): warped pred2
-    # emitted as (N, C, H, W) planes straight out of the warp kernel and
-    # consumed by the planar CE — no c-minor (H, W, 19) tensor (whose HBM
-    # tiles pad 19 -> 128 lanes) between them. Source-only only: here pred2
-    # feeds nothing but the CE.
+    # DEFAULT since the r4 on-chip A/B (3-run medians, in-step bench.py
+    # --train source-only-warper: 30.78 ms vs 32.30 ms base —
+    # scripts/campaign_results.json 2026-08-19): warped pred2 emitted as
+    # (N, C, H, W) planes straight out of the warp kernel and consumed by
+    # the planar CE — no c-minor (H, W, 19) tensor (whose HBM tiles pad
+    # 19 -> 128 lanes) between them. Source-only only: here pred2 feeds
+    # nothing but the CE. Set =0 to A/B the dense c-minor path.
     planar_ce = (
         warper_module is not None
-        and os.environ.get("ADAPTSEG_WARP_PLANAR_CE", "0") == "1"
+        and os.environ.get("ADAPTSEG_WARP_PLANAR_CE", "1") == "1"
     )
 
     def step(state: TrainState, batch):
@@ -208,6 +210,7 @@ def make_adversarial_step(
     iter_size: int = 1,
     warper_module=None,
     donate: bool = True,
+    blocked_s2d: bool = False,
 ):
     """Fused G/D adversarial step (reference :316-496 and :498-722).
 
@@ -222,9 +225,12 @@ def make_adversarial_step(
     multi = level == "multi-level"
     planar = bool(getattr(warper_module, "planar_flow", False))
     bn_batch = getattr(model, "bn_mode", "frozen") == "batch"
-    # Sampled once at step-construction time, like every other gate here
-    # (a trace-time read would re-sample on retrace).
-    blocked_s2d = os.environ.get("ADAPTSEG_D_BLOCKED_S2D", "0") == "1"
+    # blocked_s2d (blocked-4C D input) LOST its r4 on-chip A/B: in-step
+    # bench.py --train multi-level 46.27 ms vs 45.73 ms base (3-run
+    # medians, scripts/campaign_results.json 2026-08-19) — the
+    # channel-concat's lane shuffle costs more than the 4 K=4C vs 16 K=C
+    # dot consolidation saves. Kept as a keyword (default False) so the
+    # equivalence test still exercises the blocked lowering.
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
 
@@ -278,11 +284,10 @@ def make_adversarial_step(
                 if flow is None and getattr(
                     discriminator, "supports_s2d_phases", False
                 ):
-                    # OPT-IN (flip only on an in-step bench.py --train win,
-                    # ops/conv3x3.py NOTE discipline): single channel-concat
-                    # blocked tensor -> conv1 runs 4 K=4C dots instead of
-                    # 16 K=C (conv4x4_s2d_blocked); the concat's lane
-                    # shuffle is the unknown the A/B decides.
+                    # blocked=True: single channel-concat tensor -> conv1
+                    # runs 4 K=4C dots instead of 16 K=C
+                    # (conv4x4_s2d_blocked). Default False — see the
+                    # blocked_s2d NOTE above (lost the r4 in-step A/B).
                     sm_of = lambda raw: upsample_softmax_s2d(
                         raw, input_hw, blocked=blocked_s2d
                     )

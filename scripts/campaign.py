@@ -16,6 +16,12 @@ train mode it affects:
   ADAPTSEG_WARP_LANE_TILE     -> source-only-warper (warp dx g-expansion)
   ADAPTSEG_WARP_PLANAR_CE     -> source-only-warper (planar warp output+CE)
 
+2026-08-19 outcome (medians in campaign_results.json): STEM_WGRAD_RP and
+WARP_PLANAR_CE won and are now defaults; the other three lost and their
+env gates were retired (NOTEs at the sites). The five historical gate
+arms above are dead env vars kept for the record; the live A/B is
+ADAPTSEG_ASPP_ALIGNED (multi-level + eval).
+
 Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
 """
 
@@ -89,9 +95,13 @@ def main():
         ("ml_gate_conv3x3_d1", ml, {"ADAPTSEG_PALLAS_CONV3X3_D1": "1"}),
         ("ml_gate_d_blocked_s2d", ml, {"ADAPTSEG_D_BLOCKED_S2D": "1"}),
         ("ml_gate_stem_wgrad_rp", ml, {"ADAPTSEG_STEM_WGRAD_RP": "1"}),
+        ("ml_gate_aspp_aligned", ml, {"ADAPTSEG_ASPP_ALIGNED": "1"}),
         ("train_sourceonly_warper_bf16_bs1_ms", sow, {}),
         ("sow_gate_warp_lane_tile", sow, {"ADAPTSEG_WARP_LANE_TILE": "1"}),
         ("sow_gate_warp_planar_ce", sow, {"ADAPTSEG_WARP_PLANAR_CE": "1"}),
+        ("eval_gate_aspp_aligned",
+         ["--eval-only", "--batch", "1", "--iters", "30"],
+         {"ADAPTSEG_ASPP_ALIGNED": "1"}),
         ("train_singlelevel_bf16_bs1_ms", train + ["single-level"], {}),
         ("train_sourceonly_bf16_bs1_ms", train + ["source-only"], {}),
         ("eval_bf16_bs1_img_per_s",

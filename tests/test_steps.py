@@ -260,12 +260,12 @@ def test_planar_ce_gate_matches_dense_path(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_blocked_s2d_gate_matches_phase_path(rng, monkeypatch):
-    """ADAPTSEG_D_BLOCKED_S2D=1 (single channel-concat D input, 4 K=4C
-    conv1 dots) must reproduce the default phase path's multi-level step
-    exactly: same losses, same updated params. Uses the REAL
-    FCDiscriminator so the supports_s2d_phases branch is the one under
-    test."""
+def test_blocked_s2d_gate_matches_phase_path(rng):
+    """blocked_s2d=True (single channel-concat D input, 4 K=4C conv1
+    dots — lost its r4 in-step A/B, kept as a keyword for coverage) must
+    reproduce the default phase path's multi-level step exactly: same
+    losses, same updated params. Uses the REAL FCDiscriminator so the
+    supports_s2d_phases branch is the one under test."""
     from adaptsegnet_tpu.models import FCDiscriminator
 
     def build():
@@ -290,10 +290,10 @@ def test_blocked_s2d_gate_matches_phase_path(rng, monkeypatch):
     batch = make_batch(rng)
     results = {}
     for gate in ("0", "1"):
-        monkeypatch.setenv("ADAPTSEG_D_BLOCKED_S2D", gate)
         model, disc, state = build()
         step = make_adversarial_step(
-            model, disc, level="multi-level", input_hw=HW, donate=False
+            model, disc, level="multi-level", input_hw=HW, donate=False,
+            blocked_s2d=(gate == "1"),
         )
         state, metrics = step(state, batch)
         results[gate] = (state, metrics)
