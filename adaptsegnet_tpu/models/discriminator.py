@@ -84,7 +84,7 @@ class FCDiscriminator(nn.Module):
             k, b = _Conv4x4Params(cin, self.ndf, name="conv1")()
             k = jnp.asarray(k, self.dtype)
             b = jnp.asarray(b, self.dtype)
-            if len(x) == 1:  # blocked single-tensor form (4C channels)
+            if len(x) == 1:  # blocked single-tensor form (4C / aligned 4A)
                 x = conv4x4_s2d_blocked(x[0].astype(self.dtype), k, b)
             else:
                 x = conv4x4_s2d_phases(

@@ -15,7 +15,6 @@ work that XLA fuses. Same FLOPs, ~6x better MXU shape.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence
 
 import jax
@@ -57,16 +56,16 @@ _K_PAD = 32  # aligned-fwd column-block width: 19 -> 32 (sublane multiple)
 
 
 def _env_aligned_fwd() -> bool:
-    """OPT-IN (flip only on an in-step bench.py --train win, the
-    ops/conv3x3.py NOTE discipline): replace the forward's 36 partial-lane
-    19-wide shift-ADDS into the (…, 19) accumulator — the r2-documented
-    pathological pattern (RMW on 15%-occupied lane tiles) — with the
-    backward's proven structure: 32-aligned column blocks, one lane-concat
-    of the shifted blocks, and a single 0/1 selector matmul to sum them.
-    The r3 step ledger bills 'ASPP dots' 1.3 ms vs a ~0.5 ms roofline;
-    this targets that gap's layout half. bf16 TPU path only (the f32
-    parity path keeps the original summation order)."""
-    return os.environ.get("ADAPTSEG_ASPP_ALIGNED", "0") == "1"
+    """The aligned forward LOST both its r4 on-chip A/Bs (3-run medians,
+    scripts/campaign_results.json 2026-08-19): in-step bench.py --train
+    multi-level 46.6 ms vs 44.89 ms base, eval bs1 186.2 vs 204.5 img/s —
+    the 32-padded column blocks grow the (…, 684) intermediate to
+    (…, 1152) and add a second full-size matmul pass, which costs more
+    HBM traffic than the partial-lane shift-adds it deletes (the
+    recurring ops/conv3x3.py NOTE lesson: only in-step numbers flip
+    lowerings). The env gate is retired; _aspp_fwd_aligned stays for
+    direct use/tests."""
+    return False
 
 
 def _pack_aspp_weights_padded(kernels, k_pad):

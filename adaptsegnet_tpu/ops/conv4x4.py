@@ -39,10 +39,18 @@ def _d2s_unpad(blocks: jnp.ndarray, h: int, w: int, c: int):
     return y[:, 1 : 1 + h, 1 : 1 + w, :]
 
 
-def _wprime(kernel: jnp.ndarray):
-    """HWIO (4,4,C,cout) -> [(a,b)] list of (4C, cout) with row order (r,s,c)."""
+def _wprime(kernel: jnp.ndarray, align: int | None = None):
+    """HWIO (4,4,C,cout) -> [(a,b)] list of (4C, cout) with row order (r,s,c).
+
+    With align > C each (r, s) row block is zero-row-padded to `align` so
+    the matrix matches an aligned-blocked input (32-padded phase concat,
+    ops.resize.upsample_softmax_s2d(blocked='aligned')); the zero rows
+    multiply the input's zero pad lanes, leaving the math unchanged."""
     c, cout = kernel.shape[2], kernel.shape[3]
     wk = kernel.reshape(2, 2, 2, 2, c, cout)  # (a, r, b, s, c, o)
+    if align is not None and align != c:
+        wk = jnp.pad(wk, ((0, 0),) * 4 + ((0, align - c), (0, 0)))
+        c = align
     return [wk[a, :, b].reshape(4 * c, cout) for a in (0, 1) for b in (0, 1)]
 
 
@@ -138,16 +146,16 @@ def _fwd_impl(x, kernel, bias):
 
 
 def _blocked_dots(blocks, kernel, bias, oh, ow):
-    """Four static-slice K=4C matmuls on a pre-blocked (N,oh+1,ow+1,4C)
-    space-to-depth tensor (channel order (r, s, c), matching _wprime)."""
-    n = blocks.shape[0]
-    c = kernel.shape[2]
+    """Four static-slice K=4A matmuls on a pre-blocked (N,oh+1,ow+1,4A)
+    space-to-depth tensor (channel order (r, s, c), matching _wprime;
+    A >= C means an aligned zero-padded block layout)."""
+    n, _, _, c4 = blocks.shape
     dtype = blocks.dtype
     f32 = dtype == jnp.float32
     out = None
-    for i, wab in enumerate(_wprime(kernel.astype(dtype))):
+    for i, wab in enumerate(_wprime(kernel.astype(dtype), align=c4 // 4)):
         a, b = divmod(i, 2)
-        xab = jax.lax.slice(blocks, (0, a, b, 0), (n, a + oh, b + ow, 4 * c))
+        xab = jax.lax.slice(blocks, (0, a, b, 0), (n, a + oh, b + ow, c4))
         y = _dot(xab, wab, f32)
         out = y if out is None else out + y
     if bias is not None:
@@ -160,15 +168,17 @@ def conv4x4_s2d_blocked(
 ) -> jnp.ndarray:
     """conv4x4_stride2 on a pre-blocked SINGLE-tensor s2d input.
 
-    `blocks` is the (N, H/2+1, W/2+1, 4C) channel-concat of the four parity
+    `blocks` is the (N, H/2+1, W/2+1, 4A) channel-concat of the four parity
     phases in (r, s, c) order (ops.resize.upsample_softmax_s2d(...,
-    blocked=True)). Four K=4C static-slice matmuls — one quarter of the
+    blocked=True), A == C) or its 32-aligned zero-padded form
+    (blocked='aligned', A == ceil32(C) >= C — the pad lanes meet zero
+    kernel rows). Four K=4A static-slice matmuls — one quarter of the
     M-dim streaming passes of the 16 K=C dots conv4x4_s2d_phases needs
     (profiled: the phase form's D conv1 runs at ~21 TF/s because each of
     the 16 tiny-K dots pays a full pass over the M=N*H*W/4 rows)."""
     n, hb, wb, c4 = blocks.shape
     kh, kw, kc, cout = kernel.shape
-    assert (kh, kw) == (4, 4) and 4 * kc == c4
+    assert (kh, kw) == (4, 4) and c4 % 4 == 0 and c4 // 4 >= kc
     return _blocked_dots(blocks, kernel, bias, hb - 1, wb - 1)
 
 

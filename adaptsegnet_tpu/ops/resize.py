@@ -148,7 +148,8 @@ def _phase_matrix(in_len: int, out_len: int, parity: int) -> np.ndarray:
 
 
 def upsample_softmax_s2d(
-    logits: jnp.ndarray, out_hw: tuple[int, int], blocked: bool = False
+    logits: jnp.ndarray, out_hw: tuple[int, int],
+    blocked: bool | str = False,
 ) -> tuple[jnp.ndarray, ...]:
     """softmax(upsample(logits)) in stride-2 parity-phase (blocked) form.
 
@@ -171,6 +172,17 @@ def upsample_softmax_s2d(
     conv4x4_s2d_blocked, which needs 4x fewer MXU streaming passes than
     the 16 K=C dots of the phase form (and the 4C=76-lane concat writes
     waste fewer lanes than four separate C=19-minor tensors).
+
+    `blocked='aligned'` additionally zero-pads each phase's channels to a
+    32 multiple before the concat, so every block sits at a lane-aligned
+    offset and (at C=19) the concat tensor is exactly one full 128-lane
+    tile. Consumer: conv4x4_s2d_blocked handles the zero rows via zero
+    kernel rows — same math exactly. NOTE (measured, don't retry): BOTH
+    concat forms LOST their r4 in-step multi-level A/Bs vs the phase
+    form (blocked=True 46.27, 'aligned' 47.36, base 44.89 ms — 3-run
+    medians, scripts/campaign_results.json 2026-08-19); the dot
+    consolidation itself loses, not the concat alignment. Kept for
+    direct use/tests.
     """
     n, h, w, c = logits.shape
     oh, ow = out_hw
@@ -211,6 +223,12 @@ def upsample_softmax_s2d(
                 cmask[-1] = 0.0
             p = p * jnp.asarray(rmask * cmask[None], p.dtype)
             phases.append(p)
+    if blocked == "aligned":
+        align = -(-c // 32) * 32
+        phases = [
+            jnp.pad(p, ((0, 0),) * 3 + ((0, align - c),)) for p in phases
+        ]
+        return (jnp.concatenate(phases, axis=-1),)
     if blocked:
         return (jnp.concatenate(phases, axis=-1),)
     return tuple(phases)

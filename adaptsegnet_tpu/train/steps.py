@@ -210,7 +210,7 @@ def make_adversarial_step(
     iter_size: int = 1,
     warper_module=None,
     donate: bool = True,
-    blocked_s2d: bool = False,
+    blocked_s2d: bool | str = False,
 ):
     """Fused G/D adversarial step (reference :316-496 and :498-722).
 
@@ -231,6 +231,15 @@ def make_adversarial_step(
     # channel-concat's lane shuffle costs more than the 4 K=4C vs 16 K=C
     # dot consolidation saves. Kept as a keyword (default False) so the
     # equivalence test still exercises the blocked lowering.
+    #
+    # blocked_s2d='aligned' (phases zero-padded 19 -> 32 before the
+    # concat: one 128-lane tile, 4 K=128 conv1 dots) LOST its r4 on-chip
+    # A/B even harder than blocked-4C: 47.36 ms vs 44.89 ms base (3-run
+    # medians, scripts/campaign_results.json 2026-08-19). The pad+concat
+    # writes don't fuse away and cost more than the 16-K=19-dot waste
+    # they remove — with blocked-4C's 46.27 this pins the conv1 dot
+    # consolidation itself as the loss, not the concat alignment. Kept
+    # as a keyword value for the equivalence test only.
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
 

@@ -18,9 +18,10 @@ train mode it affects:
 
 2026-08-19 outcome (medians in campaign_results.json): STEM_WGRAD_RP and
 WARP_PLANAR_CE won and are now defaults; the other three lost and their
-env gates were retired (NOTEs at the sites). The five historical gate
-arms above are dead env vars kept for the record; the live A/B is
-ADAPTSEG_ASPP_ALIGNED (multi-level + eval).
+env gates were retired (NOTEs at the sites). The r4 follow-ups
+ADAPTSEG_ASPP_ALIGNED (46.6 ms train / 186.2 img/s eval) and
+ADAPTSEG_D_ALIGNED_S2D (47.36 ms) also lost and are retired — all gate
+arms below are dead env vars kept for the record. Zero undecided gates.
 
 Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
 """
@@ -96,6 +97,7 @@ def main():
         ("ml_gate_d_blocked_s2d", ml, {"ADAPTSEG_D_BLOCKED_S2D": "1"}),
         ("ml_gate_stem_wgrad_rp", ml, {"ADAPTSEG_STEM_WGRAD_RP": "1"}),
         ("ml_gate_aspp_aligned", ml, {"ADAPTSEG_ASPP_ALIGNED": "1"}),
+        ("ml_gate_d_aligned_s2d", ml, {"ADAPTSEG_D_ALIGNED_S2D": "1"}),
         ("train_sourceonly_warper_bf16_bs1_ms", sow, {}),
         ("sow_gate_warp_lane_tile", sow, {"ADAPTSEG_WARP_LANE_TILE": "1"}),
         ("sow_gate_warp_planar_ce", sow, {"ADAPTSEG_WARP_PLANAR_CE": "1"}),

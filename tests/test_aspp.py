@@ -109,7 +109,8 @@ def test_classifier_module_param_layout_unchanged(rng):
 
 
 def test_aspp_aligned_fwd_matches_base(rng):
-    """The ADAPTSEG_ASPP_ALIGNED forward (32-padded column blocks, one
+    """The aligned forward (32-padded column blocks — lost its r4 in-step
+    A/B, kept for direct use; one
     lane-concat of shifted blocks, 0/1 selector matmul) == the base
     shift-add forward up to f32 summation-order rounding."""
     from adaptsegnet_tpu.ops.aspp import _aspp_fwd_aligned, _aspp_fwd_impl

@@ -137,6 +137,35 @@ def test_s2d_blocked_matches_dense(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_s2d_aligned_blocked_matches_dense(rng):
+    """conv4x4_s2d_blocked on the 32-ALIGNED zero-padded block tensor
+    (blocked='aligned' producer layout) == the dense conv, values AND
+    kernel gradients — the zero pad lanes meet zero kernel rows."""
+    from adaptsegnet_tpu.ops.conv4x4 import conv4x4_s2d_blocked
+
+    x = rng.standard_normal((2, 16, 24, 19), dtype=np.float32)
+    k = (rng.standard_normal((4, 4, 19, 8)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    blocks = jnp.concatenate(
+        [jnp.pad(p, ((0, 0),) * 3 + ((0, 32 - 19),))
+         for p in _phases_of(x)], axis=-1)
+    assert blocks.shape[-1] == 128
+    dense = np.asarray(conv4x4_stride2(jnp.asarray(x), jnp.asarray(k),
+                                       jnp.asarray(b)))
+    got = np.asarray(conv4x4_s2d_blocked(blocks, jnp.asarray(k),
+                                         jnp.asarray(b)))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+    gk_dense = jax.grad(lambda k_: jnp.sum(
+        conv4x4_stride2(jnp.asarray(x), k_, jnp.asarray(b)) ** 2))(
+        jnp.asarray(k))
+    gk_aligned = jax.grad(lambda k_: jnp.sum(
+        conv4x4_s2d_blocked(blocks, k_, jnp.asarray(b)) ** 2))(
+        jnp.asarray(k))
+    np.testing.assert_allclose(np.asarray(gk_aligned), np.asarray(gk_dense),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_upsample_softmax_s2d_blocked_is_phase_concat(rng):
     from adaptsegnet_tpu.ops.resize import upsample_softmax_s2d
 
@@ -146,6 +175,12 @@ def test_upsample_softmax_s2d_blocked_is_phase_concat(rng):
     np.testing.assert_allclose(
         np.asarray(blocked), np.concatenate([np.asarray(p) for p in phases],
                                             axis=-1))
+    (aligned,) = upsample_softmax_s2d(x, (32, 64), blocked="aligned")
+    assert aligned.shape[-1] == 128
+    np.testing.assert_allclose(
+        np.asarray(aligned),
+        np.concatenate([np.pad(np.asarray(p), ((0, 0),) * 3 + ((0, 13),))
+                        for p in phases], axis=-1))
 
 
 def test_discriminator_blocked_input_matches_dense(rng):

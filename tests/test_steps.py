@@ -260,12 +260,15 @@ def test_planar_ce_gate_matches_dense_path(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_blocked_s2d_gate_matches_phase_path(rng):
+@pytest.mark.parametrize("mode", [True, "aligned"])
+def test_blocked_s2d_gate_matches_phase_path(rng, mode):
     """blocked_s2d=True (single channel-concat D input, 4 K=4C conv1
-    dots — lost its r4 in-step A/B, kept as a keyword for coverage) must
-    reproduce the default phase path's multi-level step exactly: same
-    losses, same updated params. Uses the REAL FCDiscriminator so the
-    supports_s2d_phases branch is the one under test."""
+    dots — lost its r4 in-step A/B, kept as a keyword for coverage) and
+    blocked_s2d='aligned' (32-padded blocks, 4 K=128 dots — also lost
+    its r4 A/B, 47.36 vs 44.89 ms) must reproduce the default phase
+    path's multi-level step exactly: same losses, same updated params.
+    Uses the REAL FCDiscriminator so the supports_s2d_phases branch is
+    the one under test."""
     from adaptsegnet_tpu.models import FCDiscriminator
 
     def build():
@@ -293,7 +296,7 @@ def test_blocked_s2d_gate_matches_phase_path(rng):
         model, disc, state = build()
         step = make_adversarial_step(
             model, disc, level="multi-level", input_hw=HW, donate=False,
-            blocked_s2d=(gate == "1"),
+            blocked_s2d=(mode if gate == "1" else False),
         )
         state, metrics = step(state, batch)
         results[gate] = (state, metrics)
