@@ -223,7 +223,7 @@ def probe_backend(budget_s: float, attempt_timeout_s: float = 240.0,
         time.sleep(sleep_s)
 
 
-def _run_metric(argv: list[str], timeout_s: float):
+def _run_metric(argv: list[str], timeout_s: float, env: dict | None = None):
     """Run one worker-mode bench in a subprocess; return its parsed JSON.
 
     Killing an in-flight TPU process can wedge the tunnel (CLAUDE.md), so
@@ -232,7 +232,8 @@ def _run_metric(argv: list[str], timeout_s: float):
     cmd = [sys.executable, os.path.abspath(__file__)] + argv
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s)
+                           timeout=timeout_s,
+                           env={**os.environ, **(env or {})})
     except subprocess.TimeoutExpired:
         _log(f"metric {' '.join(argv)} KILLED after {timeout_s:.0f}s — "
              "the tunnel may now be wedged; re-probing before next metric")
@@ -283,21 +284,30 @@ def orchestrate(iters: int, wall_budget_s: float, probe_budget_s: float,
     sub_iters = max(iters // 3, 5)
     specs = [
         ("eval_bf16_bs1_img_per_s",
-         ["--eval-only", "--batch", "1", "--iters", str(iters)]),
+         ["--eval-only", "--batch", "1", "--iters", str(iters)], {}),
         ("eval_bf16_bs8_img_per_s",
-         ["--eval-only", "--batch", "8", "--iters", str(iters)]),
+         ["--eval-only", "--batch", "8", "--iters", str(iters)], {}),
+        # The f32 mIoU-reproduction path as shipped (HIGH MXU precision —
+        # on-chip decision record in ops/precision.py: zero argmax flips vs
+        # torch at any pixel with top1-top2 margin > 1e-4).
         ("eval_f32_parity_bs1_img_per_s",
          ["--eval-only", "--dtype", "float32", "--batch", "1",
-          "--iters", str(sub_iters)]),
+          "--iters", str(sub_iters)], {}),
+        # The opt-in closest-to-torch arm (6-pass limb emulation).
+        ("eval_f32_highest_bs1_img_per_s",
+         ["--eval-only", "--dtype", "float32", "--batch", "1",
+          "--iters", str(sub_iters)],
+         {"ADAPTSEG_F32_PRECISION": "highest"}),
         ("train_multilevel_bf16_bs1_ms",
-         ["--train", "--mode", "multi-level", "--iters", str(sub_iters)]),
+         ["--train", "--mode", "multi-level", "--iters", str(sub_iters)], {}),
         ("train_singlelevel_bf16_bs1_ms",
-         ["--train", "--mode", "single-level", "--iters", str(sub_iters)]),
+         ["--train", "--mode", "single-level", "--iters", str(sub_iters)],
+         {}),
         ("train_sourceonly_warper_bf16_bs1_ms",
          ["--train", "--mode", "source-only-warper",
-          "--iters", str(sub_iters)]),
+          "--iters", str(sub_iters)], {}),
         ("train_sourceonly_bf16_bs1_ms",
-         ["--train", "--mode", "source-only", "--iters", str(sub_iters)]),
+         ["--train", "--mode", "source-only", "--iters", str(sub_iters)], {}),
     ]
     extra: dict = {}
     done_all = True
@@ -316,7 +326,7 @@ def orchestrate(iters: int, wall_budget_s: float, probe_budget_s: float,
         return 1
 
     need_probe = False
-    for key, argv in specs:
+    for key, argv, env in specs:
         elapsed = time.monotonic() - t_start
         if elapsed + 60 > wall_budget_s:
             _log(f"wall budget {wall_budget_s:.0f}s exhausted; stopping "
@@ -337,6 +347,7 @@ def orchestrate(iters: int, wall_budget_s: float, probe_budget_s: float,
         parsed, timed_out = _run_metric(
             argv, min(metric_timeout_s,
                       max(wall_budget_s - (time.monotonic() - t_start), 60)),
+            env=env,
         )
         need_probe = timed_out
         if parsed is None:

@@ -110,14 +110,14 @@ def main():
          ["--eval-only", "--batch", "1", "--iters", "30"], {}),
         ("eval_bf16_bs8_img_per_s",
          ["--eval-only", "--batch", "8", "--iters", "30"], {}),
+        # The f32 path as shipped (HIGH since the 2026-08-19 on-chip
+        # decision — record in ops/precision.py) and the opt-in HIGHEST arm.
         ("eval_f32_parity_bs1_img_per_s",
          ["--eval-only", "--dtype", "float32", "--batch", "1",
-          "--iters", it], {}),
-        # Verdict item 4's perf arm: the f32 eval path at HIGH matmul
-        # precision (mask-parity evidence lives in the RUN_SLOW_PARITY test).
-        ("eval_f32_high_bs1_img_per_s",
-         ["--eval-only", "--dtype", "float32", "--batch", "1",
           "--iters", it], {"ADAPTSEG_F32_PRECISION": "high"}),
+        ("eval_f32_highest_bs1_img_per_s",
+         ["--eval-only", "--dtype", "float32", "--batch", "1",
+          "--iters", it], {"ADAPTSEG_F32_PRECISION": "highest"}),
     ]
     only = {k for k in args.only.split(",") if k}
 

@@ -16,6 +16,12 @@ torch-tie pixels (margin < 1e-4) and are no worse than HIGHEST's, HIGH can
 become the f32-eval default (34 -> 81 img/s); otherwise record the flipping
 margin distribution in the ops/precision.py NOTE.
 
+OUTCOME (2026-08-19, run on the chip): HIGHEST flipped 6426/2.1M pixels
+(0.31%, torch margins <=3.3e-6); HIGH flipped 55777 (2.7%, margins
+<=2.9e-5); BOTH had zero flips at margin >1e-4. Neither is bit-exact on
+the MXU, all flips are torch near-ties, so HIGH became the default
+(ops/precision.py).
+
 Phases (run sequentially; each owns the chip or the CPU exclusively):
   prepare    25 hot source-only train steps on the chip at 128x256, export
              weights through the real .pth path, then the torch f32 forward

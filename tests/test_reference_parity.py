@@ -374,8 +374,11 @@ def test_full_protocol_mask_parity_trained_weights(tmp_path):
     model (hot LR so margins grow fast), export the weights BACK to a torch
     state dict through the real .pth path (variables_to_resnet_state_dict),
     load them into the reference's own module, and assert mask equality at
-    the real protocol size (evaluate_cityscapes.py:150-169). Run under both
-    ADAPTSEG_F32_PRECISION settings to decide the f32-eval default."""
+    the real protocol size (evaluate_cityscapes.py:150-169). On CPU, HIGH
+    and HIGHEST are bit-identical (XLA:CPU computes true f32 either way);
+    the on-chip decider is scripts/f32_precision_onchip.py, whose 2026-08-19
+    verdict (zero confident-pixel flips under either setting) made HIGH the
+    default — record in ops/precision.py."""
     from model.deeplab_multi import DeeplabMulti as RefDeeplabMulti
 
     from adaptsegnet_tpu.train.build import build_train_state
