@@ -79,6 +79,28 @@ _BLOCK_FLOW = 256  # d-flow kernel keeps more (bp, h*C) f32 live -> smaller
 # hl=64 hh=512 nb=8).
 
 
+_BLOCK_PX = 1024  # pixel-lane kernels keep the (C*h, bp) t/tmat intermediates
+#                   f32 (the ly-reduce accumulates on the VPU, so no MXU f32
+#                   accumulator rescues a bf16 product); 1024 bounds the worst
+#                   case of an unfused multiply+reduce at ~10 MB VMEM
+
+
+def _env_pixel_lanes() -> bool:
+    """UNDECIDED r4 perf gate: transposed 'pixel-lane' kernel variants.
+
+    Lanes run over OUTPUT PIXELS and sublanes over (c, ly) — channel-major,
+    so each channel's hl-row group is tile-aligned (hl=64 at the training
+    geometry is a multiple of both the 8- and 16-row tiles) and the
+    (C, hl, bp) 3D views are layout-preserving. This removes ALL the
+    padded MXU work of the default layout: the (t*vye)@S2 output dot
+    (N=19 -> 128 lanes, 6.7x), the g@S2^T expansion (K=19, 6.7x) and both
+    VY@E2 expansions (K=64, 2x) become VPU broadcast-multiplies + an
+    aligned sublane reduce; only the K=wl tap contraction and the K=bp dx
+    contraction remain on the MXU. Decide with in-step
+    bench.py --train --mode source-only-warper (the repo's gate rule)."""
+    return os.environ.get("ADAPTSEG_WARP_PIXEL_LANES", "0") == "1"
+
+
 def _env_lane_tile() -> bool:
     """Lane-tile dx path LOST its r4 on-chip A/B: in-step bench.py --train
     source-only-warper 35.44 ms vs 32.30 ms base (3-run medians,
@@ -239,11 +261,104 @@ def _bwd_flow_kernel(iy_ref, ix_ref, x_ref, e2_ref, s2_ref, g_ref,
     ).astype(dix_ref.dtype)
 
 
-def _prep(x, iy, ix):
-    """Flatten x to x2[n, lx, ly*C+c], coords to lane-packed (N, P)."""
+def _axis_weights_T(i_ref, nl, scale, bp):
+    """Transposed (nl, bp) tent weights: pixels stay on LANES.
+
+    No coordinate transpose at all — the (1, bp) lane row broadcasts
+    against a sublane iota, which is the cheapest of the three coordinate
+    layouts (_axis_weights documents why (P, 1) columns are catastrophic)."""
+    i = i_ref[:]  # (1, bp) f32
+    r0 = jnp.floor(i)
+    l = jax.lax.broadcasted_iota(jnp.int32, (nl, bp), 0).astype(jnp.float32)
+    v = _hats(r0, i - r0, l, scale)
+    return v, r0, l
+
+
+def _fwd_kernel_px(iy_ref, ix_ref, x_ref, o_ref, *, sy, sx, hl, cdtype,
+                   planar):
+    """Pixel-lane forward: out[c, p] = sum_ly vy[ly, p] * t[(c, ly), p].
+
+    t = x2p @ VX^T is the only MXU op (K = wl, full depth); the y-weighting
+    and ly-reduction run on tile-aligned (C, hl, bp) views — no E2/S2
+    matmuls, hence none of their 19-lane / 64-deep padding waste."""
+    bp = o_ref.shape[-1] if planar else o_ref.shape[1]
+    wl = x_ref.shape[2]
+    c = x_ref.shape[1] // hl
+    vy, _, _ = _axis_weights_T(iy_ref, hl, sy, bp)
+    vx, _, _ = _axis_weights_T(ix_ref, wl, sx, bp)
+    # (C*hl, wl) @ (wl, bp) — f32 accumulation on the MXU.
+    t = jnp.dot(x_ref[0], vx.astype(cdtype),
+                preferred_element_type=jnp.float32)
+    out = jnp.sum(t.reshape(c, hl, bp) * vy.reshape(1, hl, bp), axis=1)
+    o_ref[0] = (out if planar else jnp.transpose(out, (1, 0))
+                ).astype(o_ref.dtype)
+
+
+def _bwd_x_kernel_px(iy_ref, ix_ref, g_ref, dx_ref, *, sy, sx, hl, cdtype,
+                     planar):
+    """Pixel-lane dx: dx[(c,ly), lx] = sum_p vy[ly,p] g[c,p] vx[lx,p].
+
+    tmat[(c,ly), p] = g[c,p]*vy[ly,p] is a pure VPU broadcast build (the
+    default layout needs a K=19 MXU expansion for the same tensor); the
+    block contraction over p happens lane-to-lane on the MXU."""
+    tnum = pl.program_id(1)
+    wl = dx_ref.shape[2]
+    c = dx_ref.shape[1] // hl
+    if planar:
+        g = g_ref[0]  # (C, bp)
+    else:
+        g = jnp.transpose(g_ref[0], (1, 0))  # (bp, C) -> (C, bp)
+    bp = g.shape[1]
+    vy, _, _ = _axis_weights_T(iy_ref, hl, sy, bp)
+    vx, _, _ = _axis_weights_T(ix_ref, wl, sx, bp)
+    tmat = (g.reshape(c, 1, bp).astype(jnp.float32)
+            * vy.reshape(1, hl, bp)).reshape(c * hl, bp)
+
+    @pl.when(tnum == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    # (C*hl, bp) x (wl, bp) contracted over the lane (pixel) axis.
+    dx_ref[0] += jax.lax.dot_general(
+        tmat.astype(cdtype), vx.astype(cdtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+
+def _bwd_flow_kernel_px(iy_ref, ix_ref, x_ref, g_ref, diy_ref, dix_ref,
+                        *, sy, sx, hl, cdtype, planar):
+    """Pixel-lane d-flow: the two hat-derivative contractions with the
+    same (C, hl, bp) reduce structure as the forward."""
+    wl = x_ref.shape[2]
+    c = x_ref.shape[1] // hl
+    if planar:
+        g = g_ref[0].astype(jnp.float32)  # (C, bp)
+    else:
+        g = jnp.transpose(g_ref[0], (1, 0)).astype(jnp.float32)
+    bp = g.shape[1]
+    vy, ry0, ly = _axis_weights_T(iy_ref, hl, sy, bp)
+    vx, cx0, lx = _axis_weights_T(ix_ref, wl, sx, bp)
+    x = x_ref[0]
+    t = jnp.dot(x, vx.astype(cdtype), preferred_element_type=jnp.float32)
+    dvy = _dhats(ry0, ly, sy)
+    t1 = jnp.sum(t.reshape(c, hl, bp) * dvy.reshape(1, hl, bp), axis=1)
+    diy_ref[:] = jnp.sum(t1 * g, axis=0, keepdims=True).astype(diy_ref.dtype)
+    dvx = _dhats(cx0, lx, sx)
+    rp = jnp.dot(x, dvx.astype(cdtype), preferred_element_type=jnp.float32)
+    t2 = jnp.sum(rp.reshape(c, hl, bp) * vy.reshape(1, hl, bp), axis=1)
+    dix_ref[:] = jnp.sum(t2 * g, axis=0, keepdims=True).astype(dix_ref.dtype)
+
+
+def _prep(x, iy, ix, pixel_lanes=False):
+    """Flatten x to x2[n, lx, ly*C+c] (default) or x2p[n, c*hl+ly, lx]
+    (pixel-lane kernels), coords to lane-packed (N, P)."""
     n, hl, wl, c = x.shape
     _, hh, wh = iy.shape
-    xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(n, wl, hl * c)
+    if pixel_lanes:
+        xf = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c * hl, wl)
+    else:
+        xf = jnp.transpose(x, (0, 2, 1, 3)).reshape(n, wl, hl * c)
     p = hh * wh
     sy = (hl - 1) / (hh - 1) if hh > 1 else 0.0
     sx = (wl - 1) / (wh - 1) if wh > 1 else 0.0
@@ -276,21 +391,148 @@ def _cdtype(dtype):
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _sample_upsampled(x, iy, ix, interpret, lane_tile=False,
-                      planar_out=False):
+                      planar_out=False, pixel_lanes=False):
     """out[n, y, x, c] = bilinear-upsample(x)[n] sampled at (iy, ix).
 
     iy/ix are hi-res pixel coordinates (N, H, W), assumed in-range
     [0, H-1] x [0, W-1] (the warp wrapper's clamp guarantees this).
     planar_out=True returns (n, c, y, x) channel planes instead (see
     _fwd_kernel: same math, the kernel just stores transposed blocks).
+    pixel_lanes=True runs the transposed kernel family (_fwd_kernel_px
+    etc.) — same operator, lanes over pixels instead of (ly, c).
     """
-    out, _ = _sample_fwd(x, iy, ix, interpret, lane_tile, planar_out)
+    out, _ = _sample_fwd(x, iy, ix, interpret, lane_tile, planar_out,
+                         pixel_lanes)
     return out
 
 
-def _sample_fwd(x, iy, ix, interpret, lane_tile=False, planar_out=False):
+def _sample_fwd_px(x, iy, ix, interpret, planar_out):
+    """Pixel-lane forward pallas_call (see _env_pixel_lanes)."""
+    xp, iyf, ixf, geo = _prep(x, iy, ix, pixel_lanes=True)
+    n, hl, wl, c, hh, wh, p, sy, sx = geo
+    cdtype = _cdtype(x.dtype)
+    bp = _BLOCK_PX
+    iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
+    nt = (p + pad) // bp
+    if planar_out:
+        out_specs = pl.BlockSpec((1, c, bp), lambda i, t: (i, 0, t),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, c, p + pad), x.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, bp, c), lambda i, t: (i, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, p + pad, c), x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_px, sy=sy, sx=sx, hl=hl,
+                          cdtype=cdtype, planar=planar_out),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c * hl, wl), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (p + pad) * (wl + 2) * hl * c,
+            bytes_accessed=4 * n * (p + pad) * (2 + c),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(iyp, ixp, xp.astype(cdtype))
+    if planar_out:
+        out = out[:, :, :p].reshape(n, c, hh, wh)
+    else:
+        out = out[:, :p, :].reshape(n, hh, wh, c)
+    return out, (x, iy, ix)
+
+
+def _bwd_x_px(iyf, ixf, gf, geo, cdtype, interpret, planar):
+    """Pixel-lane dx pallas_call: grid (n, nt), block-accumulated."""
+    n, hl, wl, c, hh, wh, p, sy, sx = geo
+    bp = _BLOCK_PX
+    iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
+    gp, gspec = _pad_g_and_spec(gf, pad, c, bp, planar)
+    nt = (p + pad) // bp
+    dxp = pl.pallas_call(
+        functools.partial(_bwd_x_kernel_px, sy=sy, sx=sx, hl=hl,
+                          cdtype=cdtype, planar=planar),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            gspec,
+        ],
+        out_specs=pl.BlockSpec((1, c * hl, wl), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c * hl, wl), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (p + pad) * (wl + 2) * hl * c,
+            bytes_accessed=4 * n * (p + pad) * (2 + c),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(iyp, ixp, gp)
+    # (n, c*hl, wl) -> (n, hl, wl, c)
+    return dxp.reshape(n, c, hl, wl).transpose(0, 2, 3, 1)
+
+
+def _sample_bwd_px(interpret, planar_out, res, g):
+    """Pixel-lane backward: dx + d-flow pallas_calls."""
+    x, iy, ix = res
+    xp, iyf, ixf, geo = _prep(x, iy, ix, pixel_lanes=True)
+    n, hl, wl, c, hh, wh, p, sy, sx = geo
+    cdtype = _cdtype(x.dtype)
+    gf = g.reshape(n, c, p) if planar_out else g.reshape(n, p, c)
+
+    dx = _bwd_x_px(iyf, ixf, gf, geo, cdtype, interpret,
+                   planar_out).astype(x.dtype)
+
+    bp = _BLOCK_FLOW
+    iyp, ixp, pad = _pad_coords(iyf, ixf, p, bp)
+    gp, gspec = _pad_g_and_spec(gf, pad, c, bp, planar_out)
+    nb = (p + pad) // bp
+    diy, dix = pl.pallas_call(
+        functools.partial(_bwd_flow_kernel_px, sy=sy, sx=sx, hl=hl,
+                          cdtype=cdtype, planar=planar_out),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c * hl, wl), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gspec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p + pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, p + pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(iyp, ixp, xp.astype(cdtype), gp)
+    diy = diy[:, :p].reshape(n, hh, wh)
+    dix = dix[:, :p].reshape(n, hh, wh)
+    return dx, diy, dix
+
+
+def _sample_fwd(x, iy, ix, interpret, lane_tile=False, planar_out=False,
+                pixel_lanes=False):
+    if pixel_lanes:
+        return _sample_fwd_px(x, iy, ix, interpret, planar_out)
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
     cdtype = _cdtype(x.dtype)
@@ -338,7 +580,9 @@ def _sample_fwd(x, iy, ix, interpret, lane_tile=False, planar_out=False):
     return out, (x, iy, ix)
 
 
-def _sample_bwd(interpret, lane_tile, planar_out, res, g):
+def _sample_bwd(interpret, lane_tile, planar_out, pixel_lanes, res, g):
+    if pixel_lanes:
+        return _sample_bwd_px(interpret, planar_out, res, g)
     x, iy, ix = res
     xf, iyf, ixf, geo = _prep(x, iy, ix)
     n, hl, wl, c, hh, wh, p, sy, sx = geo
@@ -483,6 +727,7 @@ def upsample_warp(
     planar: bool = False,
     lane_tile: bool | None = None,
     planar_out: bool = False,
+    pixel_lanes: bool | None = None,
 ) -> jnp.ndarray:
     """warp_with_flow(upsample_logits(x, out_hw), flow), fused and exact.
 
@@ -506,6 +751,11 @@ def upsample_warp(
     c-minor tensor (whose HBM tiles pad 19 -> 128 lanes) ever exists —
     for consumers that can work on planes (ops.losses.
     cross_entropy_2d_planar).
+
+    `pixel_lanes=True` (default: the ADAPTSEG_WARP_PIXEL_LANES env gate,
+    see _env_pixel_lanes) runs the transposed kernel family: lanes over
+    output pixels, sublanes over (c, ly), which turns every padded E2/S2
+    expansion matmul into tile-aligned VPU broadcast+reduce work.
     """
     if out_hw is None:
         out_hw = (
@@ -524,6 +774,8 @@ def upsample_warp(
         return jnp.transpose(out, (0, 3, 1, 2)) if planar_out else out
     if lane_tile is None:
         lane_tile = _env_lane_tile()
+    if pixel_lanes is None:
+        pixel_lanes = _env_pixel_lanes()
     iy, ix = _coords_from_flow(flow, out_hw, planar=planar)
     return _sample_upsampled(x, iy, ix, bool(interpret), bool(lane_tile),
-                             bool(planar_out))
+                             bool(planar_out), bool(pixel_lanes))

@@ -101,6 +101,9 @@ def main():
         ("train_sourceonly_warper_bf16_bs1_ms", sow, {}),
         ("sow_gate_warp_lane_tile", sow, {"ADAPTSEG_WARP_LANE_TILE": "1"}),
         ("sow_gate_warp_planar_ce", sow, {"ADAPTSEG_WARP_PLANAR_CE": "1"}),
+        # r4 pixel-lane warp kernels (ops/pallas/upsample_warp.py
+        # _env_pixel_lanes): lanes over pixels, no padded E2/S2 matmuls.
+        ("sow_gate_warp_pixel_lanes", sow, {"ADAPTSEG_WARP_PIXEL_LANES": "1"}),
         ("eval_gate_aspp_aligned",
          ["--eval-only", "--batch", "1", "--iters", "30"],
          {"ADAPTSEG_ASPP_ALIGNED": "1"}),

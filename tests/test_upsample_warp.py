@@ -194,6 +194,52 @@ def test_planar_out_with_lane_tile(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("planar_out", [False, True])
+def test_pixel_lanes_matches_default(rng, planar_out):
+    """The transposed pixel-lane kernel family (ADAPTSEG_WARP_PIXEL_LANES)
+    == the default layout: forward values and both gradients, dense and
+    planar output, including a block-padding geometry."""
+    n, hl, wl, c, hh, wh = 2, 8, 16, 5, 32, 64
+    x = jnp.asarray(_rand(rng, (n, hl, wl, c)))
+    flow = jnp.asarray(_rand(rng, (n, hh, wh, 2), 0.5))
+    g = jnp.asarray(_rand(rng, (n, hh, wh, c)))
+
+    def loss(xj, fj, **kw):
+        out = upsample_warp(xj, fj, interpret=True, planar_out=planar_out,
+                            **kw)
+        gp = jnp.transpose(g, (0, 3, 1, 2)) if planar_out else g
+        return jnp.vdot(out, gp)
+
+    ref = upsample_warp(x, flow, interpret=True, planar_out=planar_out)
+    got = upsample_warp(x, flow, interpret=True, planar_out=planar_out,
+                        pixel_lanes=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    dx_r, df_r = jax.grad(loss, argnums=(0, 1))(x, flow)
+    dx_p, df_p = jax.grad(
+        lambda a, b: loss(a, b, pixel_lanes=True), argnums=(0, 1)
+    )(x, flow)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_r),
+                               atol=1e-5, rtol=1e-5)
+    # df sums the per-tap products in a different order (VPU sublane
+    # reduce vs MXU dot) — same operator, f32-rounding-level drift only.
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_r),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_pixel_lanes_block_padding(rng):
+    """P=600 (not a multiple of _BLOCK_PX) exercises the pad path of all
+    three pixel-lane kernels against torch."""
+    n, hl, wl, c, hh, wh = 1, 5, 6, 3, 20, 30
+    x = _rand(rng, (n, hl, wl, c))
+    flow = _rand(rng, (n, hh, wh, 2), 0.5)
+    _, _, ref = torch_upsample_warp(x, flow, (hh, wh))
+    got = upsample_warp(jnp.asarray(x), jnp.asarray(flow), interpret=True,
+                        pixel_lanes=True)
+    np.testing.assert_allclose(np.asarray(got), ref.detach().numpy(),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_bf16_smoke(rng):
     n, hl, wl, c, hh, wh = 1, 6, 8, 4, 24, 32
     x = jnp.asarray(_rand(rng, (n, hl, wl, c)), jnp.bfloat16)
