@@ -55,19 +55,6 @@ def _prec(dtype):
 _K_PAD = 32  # aligned-fwd column-block width: 19 -> 32 (sublane multiple)
 
 
-def _env_aligned_fwd() -> bool:
-    """The aligned forward LOST both its r4 on-chip A/Bs (3-run medians,
-    scripts/campaign_results.json 2026-08-19): in-step bench.py --train
-    multi-level 46.6 ms vs 44.89 ms base, eval bs1 186.2 vs 204.5 img/s —
-    the 32-padded column blocks grow the (…, 684) intermediate to
-    (…, 1152) and add a second full-size matmul pass, which costs more
-    HBM traffic than the partial-lane shift-adds it deletes (the
-    recurring ops/conv3x3.py NOTE lesson: only in-step numbers flip
-    lowerings). The env gate is retired; _aspp_fwd_aligned stays for
-    direct use/tests."""
-    return False
-
-
 def _pack_aspp_weights_padded(kernels, k_pad):
     """pack_aspp_weights with each (C, K) column block zero-padded to
     k_pad columns, so every tap block sits at a k_pad-aligned lane
@@ -85,7 +72,16 @@ def _pack_aspp_weights_padded(kernels, k_pad):
 def _aspp_fwd_aligned(x, kernels, biases, dils, k_out, prec):
     """Aligned forward: y blocks at 32-lane offsets, shifted blocks
     lane-concatenated once, summed by one (n*9*32, K) 0/1 selector matmul
-    (plus bias). Same math as _aspp_fwd_impl up to summation order."""
+    (plus bias). Same math as _aspp_fwd_impl up to summation order.
+
+    NOT wired into _aspp_fwd_impl: it LOST both its r4 on-chip A/Bs
+    (3-run medians, scripts/campaign_results.json 2026-08-19) — in-step
+    bench.py --train multi-level 46.6 ms vs 44.89 ms base, eval bs1
+    186.2 vs 204.5 img/s. The 32-padded column blocks grow the (…, 684)
+    intermediate to (…, 1152) and add a second full-size matmul pass,
+    which costs more HBM traffic than the partial-lane shift-adds it
+    deletes (the recurring ops/conv3x3.py NOTE lesson: only in-step
+    numbers flip lowerings). Kept for direct use/tests only."""
     n_taps = len(dils) * 9
     wcat = _pack_aspp_weights_padded(kernels, _K_PAD)  # (C, n*9*32)
     y = jax.lax.dot_general(
@@ -124,11 +120,6 @@ def _aspp_fwd_impl(x, kernels, biases, dilations, n_sum):
     biases = list(biases)[:n_sum]
     dils = list(dilations)[:n_sum]
     k_out = kernels[0].shape[-1]
-
-    if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
-            and _env_aligned_fwd()):
-        return _aspp_fwd_aligned(x, kernels, biases, dils, k_out,
-                                 _prec(x.dtype))
 
     wcat = pack_aspp_weights(kernels)  # (C, n*9*K)
     y = jax.lax.dot_general(

@@ -8,20 +8,16 @@ tunnel wedge mid-campaign keeps everything measured so far.
 
 Gate discipline (ROADMAP.md / ops NOTEs): only IN-STEP bench.py numbers
 flip a gate's default. Each gate is A/B'd against the baseline arm of the
-train mode it affects:
+train mode it affects. Live gate arms:
 
-  ADAPTSEG_PALLAS_CONV3X3_D1  -> multi-level      (layer2 VJP conv3x3)
-  ADAPTSEG_D_BLOCKED_S2D      -> multi-level      (D conv1 blocked-4C input)
-  ADAPTSEG_STEM_WGRAD_RP      -> multi-level      (stem wgrad s2d shuffle)
-  ADAPTSEG_WARP_LANE_TILE     -> source-only-warper (warp dx g-expansion)
-  ADAPTSEG_WARP_PLANAR_CE     -> source-only-warper (planar warp output+CE)
+  ADAPTSEG_WARP_PIXEL_LANES -> source-only-warper (r4 pixel-lane warp
+                               kernel family, pending its in-step A/B)
 
-2026-08-19 outcome (medians in campaign_results.json): STEM_WGRAD_RP and
-WARP_PLANAR_CE won and are now defaults; the other three lost and their
-env gates were retired (NOTEs at the sites). The r4 follow-ups
-ADAPTSEG_ASPP_ALIGNED (46.6 ms train / 186.2 img/s eval) and
-ADAPTSEG_D_ALIGNED_S2D (47.36 ms) also lost and are retired — all gate
-arms below are dead env vars kept for the record. Zero undecided gates.
+2026-08-19 outcomes (medians in campaign_results.json): STEM_WGRAD_RP and
+WARP_PLANAR_CE won and are now defaults; PALLAS_CONV3X3_D1, D_BLOCKED_S2D,
+WARP_LANE_TILE, ASPP_ALIGNED and D_ALIGNED_S2D lost and their env gates
+were retired (NOTEs at the sites; losing medians listed at the configs
+table below).
 
 Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
 """
@@ -90,23 +86,25 @@ def main():
 
     train = ["--train", "--iters", it, "--mode"]
     ml, sow = train + ["multi-level"], train + ["source-only-warper"]
+    # Retired arms are REMOVED, not just commented: their env vars are no
+    # longer read by the code, so a re-run would record a baseline number
+    # mislabeled as a gate measurement (advisor r4). The losing medians
+    # stay on record in campaign_results.json and as NOTEs at the sites:
+    #   ml_gate_conv3x3_d1 47.55 | ml_gate_d_blocked_s2d 46.27
+    #   ml_gate_aspp_aligned 46.6 / eval 186.2 | ml_gate_d_aligned_s2d 47.36
+    #   sow_gate_warp_lane_tile 35.44
+    # Winners now defaults (their old "=1" arms would also re-measure the
+    # default): ml_gate_stem_wgrad_rp 44.76, sow_gate_warp_planar_ce 30.78.
     configs = [
         # (key, argv, env)
         ("train_multilevel_bf16_bs1_ms", ml, {}),
-        ("ml_gate_conv3x3_d1", ml, {"ADAPTSEG_PALLAS_CONV3X3_D1": "1"}),
-        ("ml_gate_d_blocked_s2d", ml, {"ADAPTSEG_D_BLOCKED_S2D": "1"}),
-        ("ml_gate_stem_wgrad_rp", ml, {"ADAPTSEG_STEM_WGRAD_RP": "1"}),
-        ("ml_gate_aspp_aligned", ml, {"ADAPTSEG_ASPP_ALIGNED": "1"}),
-        ("ml_gate_d_aligned_s2d", ml, {"ADAPTSEG_D_ALIGNED_S2D": "1"}),
         ("train_sourceonly_warper_bf16_bs1_ms", sow, {}),
-        ("sow_gate_warp_lane_tile", sow, {"ADAPTSEG_WARP_LANE_TILE": "1"}),
-        ("sow_gate_warp_planar_ce", sow, {"ADAPTSEG_WARP_PLANAR_CE": "1"}),
         # r4 pixel-lane warp kernels (ops/pallas/upsample_warp.py
         # _env_pixel_lanes): lanes over pixels, no padded E2/S2 matmuls.
         ("sow_gate_warp_pixel_lanes", sow, {"ADAPTSEG_WARP_PIXEL_LANES": "1"}),
-        ("eval_gate_aspp_aligned",
-         ["--eval-only", "--batch", "1", "--iters", "30"],
-         {"ADAPTSEG_ASPP_ALIGNED": "1"}),
+        # r5 conv1 patch-matrix kernel (ops/pallas/conv4x4_patch.py):
+        # planar phases + in-VMEM patch build vs the 16 K=19 XLA dots.
+        ("ml_gate_d_conv1_patch", ml, {"ADAPTSEG_D_CONV1_PATCH": "1"}),
         ("train_singlelevel_bf16_bs1_ms", train + ["single-level"], {}),
         ("train_sourceonly_bf16_bs1_ms", train + ["source-only"], {}),
         ("eval_bf16_bs1_img_per_s",

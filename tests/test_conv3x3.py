@@ -64,10 +64,13 @@ def test_conv7x7_s2_forward_and_wgrad_match_torch(rng):
         rtol=1e-4, atol=1e-5)
 
 
-def test_stem_wgrad_rowparity_gate_matches_torch(rng, monkeypatch):
-    """ADAPTSEG_STEM_WGRAD_RP=1 (row-parity s2d build, 32 K=2C dots)
-    produces the same wgrad as the default path / torch."""
-    monkeypatch.setenv("ADAPTSEG_STEM_WGRAD_RP", "1")
+@pytest.mark.parametrize("gate", ["0", "1"])
+def test_stem_wgrad_rowparity_gate_matches_torch(rng, monkeypatch, gate):
+    """Both stem-wgrad arms match torch: '1' = row-parity s2d build
+    (32 K=2C dots, the default since the r4 on-chip A/B) and '0' = the
+    6D-shuffle fallback kept for A/B (advisor r4: with the default
+    flipped to '1', the fallback needs its own parity coverage)."""
+    monkeypatch.setenv("ADAPTSEG_STEM_WGRAD_RP", gate)
     x = rng.standard_normal((1, 32, 48, 3), dtype=np.float32)
     w = rng.standard_normal((7, 7, 3, 16), dtype=np.float32) * 0.1
     dy = rng.standard_normal((1, 16, 24, 16), dtype=np.float32)
@@ -155,6 +158,24 @@ def test_conv3x3_dil_pallas_matches_xla(rng, cin, cout, d):
         x, k, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     got = conv3x3_dil_mxu(x, k, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("nb,d", [(2, 2), (4, 4), (2, 1)])
+def test_conv3x3_dil_pallas_batched_matches_xla(rng, nb, d):
+    """The NB-images-per-block variant (r5 eval-bs8 experiment,
+    ADAPTSEG_EVAL_BATCHED_CONV) == the XLA dilated conv."""
+    from adaptsegnet_tpu.ops.pallas.conv3x3_dil import conv3x3_dil_mxu_batched
+
+    cin = cout = 128
+    x = jnp.asarray(rng.standard_normal((4, 16, 24, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05,
+                    jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3_dil_mxu_batched(x, k, d, interpret=True, nb=nb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
