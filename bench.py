@@ -17,20 +17,29 @@ executions (they serialize on the device queue), force ONE true host sync
 via a scalar device->host transfer, and subtract the idle transfer latency.
 Validated against an 8192^3 bf16 matmul reaching ~93% of v5e peak.
 
-Resilience (the axon tunnel is known to wedge for 30-45 min and to fail
-backend init transiently — it cost round 3 its whole perf record): the
-default mode is an ORCHESTRATOR. It first probes the backend in a
-subprocess (a wedged call blocks forever, so the probe must be killable)
-and retries with backoff for up to ADAPTSEG_BENCH_PROBE_BUDGET_S (default
-3900 s). Each metric then runs in its own subprocess with a generous
-timeout; every completed metric is immediately mirrored to stderr and to
-bench_partial.json, so a mid-run wedge can no longer zero the record. The
-final stdout line carries whatever was measured ("partial": true if
-incomplete), and SIGTERM/SIGINT emit it too before exiting.
+Resilience/latency (the axon tunnel wedges for 30-45 min at a time, backend
+init transiently fails, AND the driver runs this script under its own
+~25-min timeout — r4's run died at rc=124 with 2/8 metrics unmeasured):
+the default mode is an ORCHESTRATOR. It probes the backend in a killable
+subprocess, then runs the metrics through a --suite WORKER that executes
+many metrics in one process (backend init + jax import are paid once, not
+once per metric — they cost 1-2 min each over this tunnel) and streams one
+JSON line per finished metric. The orchestrator reads those lines live,
+mirrors each to stderr and bench_partial.json, and on a stall (no line
+within the per-metric timeout) kills the worker and resumes the REMAINING
+keys in a fresh worker after re-probing. A mid-run wedge therefore keeps
+every metric already measured, and the common case pays subprocess startup
+twice (suite + the f32-HIGHEST arm, which needs its own process because
+ADAPTSEG_F32_PRECISION is read at import) instead of eight times.
 
-Flags: --train benches one fused train step (--mode picks which) in-process;
---eval-only benches bf16/f32 eval in-process. These are the worker modes
-the orchestrator invokes. --dtype float32 for the parity-precision path.
+Metric order is by record value: the headline bf16 eval first, then the
+four train modes (the two source-only ones were the r4 casualties), then
+bs8 eval and the two f32-parity arms (the slowest compiles) last, so a
+wall-budget stop costs the least-important tail first.
+
+Flags: --suite k1,k2,... runs those metrics in-process (one JSON line
+each); --train / --eval-only are single-metric worker modes kept for
+scripts/campaign.py.
 """
 
 from __future__ import annotations
@@ -38,9 +47,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
 import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -49,7 +60,7 @@ import numpy as np
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache in .jax_cache/ (CLAUDE.md).
 
-    Wired here (not just via env) so the orchestrator's per-metric
+    Wired here (not just via env) so the orchestrator's worker
     subprocesses pay each cold compile exactly once across runs.
     """
     from adaptsegnet_tpu.utils.cache import enable_persistent_cache
@@ -193,7 +204,7 @@ def _log(msg: str) -> None:
 
 
 def probe_backend(budget_s: float, attempt_timeout_s: float = 240.0,
-                  sleep_s: float = 120.0) -> bool:
+                  sleep_s: float = 60.0) -> bool:
     """True once a tiny jnp.sum completes in a killable subprocess.
 
     CLAUDE.md: a wedged tunnel blocks every compile/exec (jax.devices()
@@ -207,7 +218,9 @@ def probe_backend(budget_s: float, attempt_timeout_s: float = 240.0,
         try:
             r = subprocess.run(
                 [sys.executable, "-c", _PROBE_CODE],
-                capture_output=True, text=True, timeout=attempt_timeout_s,
+                capture_output=True, text=True,
+                timeout=min(attempt_timeout_s,
+                            max(deadline - time.monotonic(), 30.0)),
             )
             if r.returncode == 0:
                 if attempt > 1:
@@ -216,39 +229,124 @@ def probe_backend(budget_s: float, attempt_timeout_s: float = 240.0,
             tail = (r.stderr or "").strip().splitlines()[-1:]
             _log(f"probe attempt {attempt} rc={r.returncode}: {tail}")
         except subprocess.TimeoutExpired:
-            _log(f"probe attempt {attempt} timed out "
-                 f"({attempt_timeout_s:.0f}s) — tunnel likely wedged")
+            _log(f"probe attempt {attempt} timed out — tunnel likely wedged")
         if time.monotonic() + sleep_s >= deadline:
             return False
         time.sleep(sleep_s)
 
 
-def _run_metric(argv: list[str], timeout_s: float, env: dict | None = None):
-    """Run one worker-mode bench in a subprocess; return its parsed JSON.
+# ---------------------------------------------------------------------------
+# Metric registry: key -> (callable(iters) -> value, env overrides).
+# Values are img/s for eval_* keys and ms/step for train_* keys. The f32
+# arms and train steps use iters//3 (bounded below at 5): their per-iter
+# cost is 2-6x the bf16 eval's and the signal is compile-dominated anyway.
+# ---------------------------------------------------------------------------
 
-    Killing an in-flight TPU process can wedge the tunnel (CLAUDE.md), so
-    the timeout is generous and a kill is last-resort, logged loudly.
+def _metric_value(key: str, iters: int) -> float:
+    sub = max(iters // 3, 5)
+    if key == "eval_bf16_bs1_img_per_s":
+        return bench_eval("bfloat16", iters, 1)
+    if key == "eval_bf16_bs8_img_per_s":
+        return bench_eval("bfloat16", iters, 8)
+    if key in ("eval_f32_parity_bs1_img_per_s",
+               "eval_f32_highest_bs1_img_per_s"):
+        # Identical worker code: the two arms differ only in
+        # ADAPTSEG_F32_PRECISION, which ops/precision.py reads at import —
+        # the orchestrator launches the HIGHEST arm in its own process.
+        return bench_eval("float32", sub, 1)
+    if key == "train_multilevel_bf16_bs1_ms":
+        return bench_train("bfloat16", sub, 1, "multi-level") * 1000.0
+    if key == "train_singlelevel_bf16_bs1_ms":
+        return bench_train("bfloat16", sub, 1, "single-level") * 1000.0
+    if key == "train_sourceonly_warper_bf16_bs1_ms":
+        return bench_source_only("bfloat16", sub, 1, warper=True) * 1000.0
+    if key == "train_sourceonly_bf16_bs1_ms":
+        return bench_source_only("bfloat16", sub, 1, warper=False) * 1000.0
+    raise KeyError(key)
+
+
+# Orchestrator order = record priority (headline first, r4's lost
+# source-only keys next, slow f32 compiles last). The HIGHEST arm is the
+# only key needing non-default env.
+METRIC_ORDER = [
+    "eval_bf16_bs1_img_per_s",
+    "train_sourceonly_bf16_bs1_ms",
+    "train_sourceonly_warper_bf16_bs1_ms",
+    "train_multilevel_bf16_bs1_ms",
+    "train_singlelevel_bf16_bs1_ms",
+    "eval_bf16_bs8_img_per_s",
+    "eval_f32_parity_bs1_img_per_s",
+    "eval_f32_highest_bs1_img_per_s",
+]
+METRIC_ENV = {
+    "eval_f32_highest_bs1_img_per_s": {"ADAPTSEG_F32_PRECISION": "highest"},
+}
+
+
+def run_suite(keys: list[str], iters: int) -> None:
+    """Worker: run metrics in-process, one flushed JSON line each.
+
+    Exceptions are caught per metric so one bad key cannot abort the rest
+    of the suite; the orchestrator records the error line and moves on.
     """
-    cmd = [sys.executable, os.path.abspath(__file__)] + argv
-    try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s,
-                           env={**os.environ, **(env or {})})
-    except subprocess.TimeoutExpired:
-        _log(f"metric {' '.join(argv)} KILLED after {timeout_s:.0f}s — "
-             "the tunnel may now be wedged; re-probing before next metric")
-        return None, True
-    if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()[-3:]
-        _log(f"metric {' '.join(argv)} rc={r.returncode}: {tail}")
-        return None, False
-    for line in reversed((r.stdout or "").strip().splitlines()):
+    for key in keys:
         try:
-            return json.loads(line), False
+            value = round(_metric_value(key, iters), 2)
+            print(json.dumps({"key": key, "value": value}), flush=True)
+        except Exception as e:  # noqa: BLE001 — report, keep suite alive
+            print(json.dumps({"key": key, "error": repr(e)[:500]}),
+                  flush=True)
+
+
+def _stream_suite(keys: list[str], iters: int, env: dict,
+                  line_timeout_s, on_result) -> tuple[set, bool]:
+    """Run a --suite worker, reading its per-metric lines live.
+
+    Returns (keys_done, wedged). On a stall (no line within
+    line_timeout_s(key)) the worker is killed — last resort, logged
+    loudly, because killing an in-flight TPU process can wedge the
+    tunnel (CLAUDE.md) — and the caller resumes the remaining keys.
+    """
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--suite", ",".join(keys), "--iters", str(iters)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                            text=True, env={**os.environ, **env})
+    q: queue.Queue = queue.Queue()
+
+    def _reader():
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
+    done: set = set()
+    pending = list(keys)
+    wedged = False
+    while pending:
+        try:
+            line = q.get(timeout=line_timeout_s(pending[0]))
+        except queue.Empty:
+            _log(f"suite stalled before {pending[0]} — killing worker; "
+                 "the tunnel may now be wedged")
+            proc.kill()
+            wedged = True
+            break
+        if line is None:  # EOF: worker exited (crash or finished early)
+            break
+        try:
+            rec = json.loads(line)
         except json.JSONDecodeError:
             continue
-    _log(f"metric {' '.join(argv)} produced no JSON line")
-    return None, False
+        key = rec.get("key")
+        if key in pending:
+            pending.remove(key)
+            done.add(key)
+            on_result(key, rec.get("value"),
+                      rec.get("error"))
+    if not wedged:
+        proc.wait(timeout=60)
+    return done, wedged
 
 
 def _final_line(extra: dict, partial: bool) -> str:
@@ -272,45 +370,16 @@ def _final_line(extra: dict, partial: bool) -> str:
 
 def orchestrate(iters: int, wall_budget_s: float, probe_budget_s: float,
                 metric_timeout_s: float) -> int:
-    """Default mode: full perf story, one metric per subprocess.
+    """Default mode: full perf story via suite workers (see module doc).
 
-    Headline = best-batch bf16 eval throughput; extras record the f32
-    bit-parity eval path (the number that gates released-checkpoint mIoU
-    reproduction) and one fused train step per trainer mode so every number
-    the README quotes is driver-reproducible. Persistent .jax_cache makes
-    the per-subprocess recompiles cheap after the first run.
+    Headline = best-batch bf16 eval throughput; extras record one fused
+    train step per trainer mode and the f32 bit-parity eval path (the
+    number that gates released-checkpoint mIoU reproduction), so every
+    number the README quotes is driver-reproducible. Persistent
+    .jax_cache makes recompiles cheap after the first run.
     """
     t_start = time.monotonic()
-    sub_iters = max(iters // 3, 5)
-    specs = [
-        ("eval_bf16_bs1_img_per_s",
-         ["--eval-only", "--batch", "1", "--iters", str(iters)], {}),
-        ("eval_bf16_bs8_img_per_s",
-         ["--eval-only", "--batch", "8", "--iters", str(iters)], {}),
-        # The f32 mIoU-reproduction path as shipped (HIGH MXU precision —
-        # on-chip decision record in ops/precision.py: zero argmax flips vs
-        # torch at any pixel with top1-top2 margin > 1e-4).
-        ("eval_f32_parity_bs1_img_per_s",
-         ["--eval-only", "--dtype", "float32", "--batch", "1",
-          "--iters", str(sub_iters)], {}),
-        # The opt-in closest-to-torch arm (6-pass limb emulation).
-        ("eval_f32_highest_bs1_img_per_s",
-         ["--eval-only", "--dtype", "float32", "--batch", "1",
-          "--iters", str(sub_iters)],
-         {"ADAPTSEG_F32_PRECISION": "highest"}),
-        ("train_multilevel_bf16_bs1_ms",
-         ["--train", "--mode", "multi-level", "--iters", str(sub_iters)], {}),
-        ("train_singlelevel_bf16_bs1_ms",
-         ["--train", "--mode", "single-level", "--iters", str(sub_iters)],
-         {}),
-        ("train_sourceonly_warper_bf16_bs1_ms",
-         ["--train", "--mode", "source-only-warper",
-          "--iters", str(sub_iters)], {}),
-        ("train_sourceonly_bf16_bs1_ms",
-         ["--train", "--mode", "source-only", "--iters", str(sub_iters)], {}),
-    ]
     extra: dict = {}
-    done_all = True
 
     def emit_now(signum=None, frame=None):
         # One JSON line on stdout even when killed mid-run.
@@ -320,47 +389,65 @@ def orchestrate(iters: int, wall_budget_s: float, probe_budget_s: float,
     signal.signal(signal.SIGTERM, emit_now)
     signal.signal(signal.SIGINT, emit_now)
 
-    if not probe_backend(probe_budget_s):
-        _log(f"backend never came up within {probe_budget_s:.0f}s")
-        print(_final_line(extra, partial=True), flush=True)
-        return 1
+    def remaining_wall() -> float:
+        return wall_budget_s - (time.monotonic() - t_start)
 
-    need_probe = False
-    for key, argv, env in specs:
-        elapsed = time.monotonic() - t_start
-        if elapsed + 60 > wall_budget_s:
-            _log(f"wall budget {wall_budget_s:.0f}s exhausted; stopping "
-                 f"before {key}")
-            done_all = False
-            break
-        if need_probe:
-            # A timed-out metric may have wedged the tunnel; wait for
-            # recovery (bounded by remaining wall budget) before burning
-            # the next metric's run on a dead backend.
-            remaining = wall_budget_s - (time.monotonic() - t_start) - 60
-            if remaining <= 0 or not probe_backend(min(probe_budget_s,
-                                                       remaining)):
-                _log("backend did not recover; stopping")
-                done_all = False
-                break
-            need_probe = False
-        parsed, timed_out = _run_metric(
-            argv, min(metric_timeout_s,
-                      max(wall_budget_s - (time.monotonic() - t_start), 60)),
-            env=env,
-        )
-        need_probe = timed_out
-        if parsed is None:
+    def on_result(key, value, error):
+        if error is not None:
+            _log(f"{key} FAILED: {error}")
             extra[key] = None
-            done_all = False
         else:
-            extra[key] = parsed["value"]
+            extra[key] = value
         _log(f"{key} = {extra[key]}")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_partial.json"), "w") as f:
             json.dump(extra, f, indent=1)
 
-    partial = (not done_all) or any(v is None for v in extra.values())
+    if not probe_backend(min(probe_budget_s, remaining_wall() - 120)):
+        _log("backend never came up within the probe budget")
+        print(_final_line(extra, partial=True), flush=True)
+        return 1
+
+    pending = list(METRIC_ORDER)
+    stalls = 0
+    while pending and remaining_wall() > 90:
+        # Group the longest env-identical prefix into one worker process.
+        env = METRIC_ENV.get(pending[0], {})
+        batch = []
+        for k in pending:
+            if METRIC_ENV.get(k, {}) == env:
+                batch.append(k)
+            else:
+                break
+
+        def line_timeout(key, _env=env):
+            # First metric in a worker also pays jax import + backend
+            # init (~1-2 min over this tunnel) and any cold compile.
+            return max(min(metric_timeout_s, remaining_wall() - 30), 30)
+
+        done, wedged = _stream_suite(batch, iters, env, line_timeout,
+                                     on_result)
+        pending = [k for k in pending if k not in done]
+        if not pending:
+            break
+        if wedged:
+            stalls += 1
+            if stalls >= 2:
+                _log("two stalls — stopping to preserve the record")
+                break
+            budget = min(probe_budget_s, remaining_wall() - 120)
+            if budget <= 0 or not probe_backend(budget):
+                _log("backend did not recover; stopping")
+                break
+        elif not done:
+            # Worker exited without finishing anything (e.g. import
+            # crash): a retry would loop forever.
+            _log(f"worker made no progress on {batch[:2]}...; stopping")
+            break
+
+    if pending:
+        _log(f"unmeasured: {pending}")
+    partial = bool(pending) or any(v is None for v in extra.values())
     print(_final_line(extra, partial=partial), flush=True)
     return 0 if extra.get("eval_bf16_bs1_img_per_s") is not None else 1
 
@@ -377,12 +464,18 @@ def main():
     p.add_argument("--eval-only", action="store_true",
                    help="bench ONLY eval at --batch/--dtype "
                         "(single JSON line)")
+    p.add_argument("--suite", default="",
+                   help="comma list of metric keys to run in-process "
+                        "(one JSON line per metric; orchestrator worker)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--batch", type=int, default=1)
     args = p.parse_args()
 
+    if args.suite:
+        run_suite([k for k in args.suite.split(",") if k], args.iters)
+        return
     if args.train:
         if args.mode.startswith("source-only"):
             step_time = bench_source_only(
@@ -411,14 +504,17 @@ def main():
         }))
         return
 
+    # Budgets sized to the OBSERVED driver window (~25 min in r4, which
+    # killed the old defaults at rc=124): finish with margin, never rely
+    # on the driver's timeout for cleanup.
     sys.exit(orchestrate(
         iters=args.iters,
         wall_budget_s=float(os.environ.get(
-            "ADAPTSEG_BENCH_WALL_BUDGET_S", "5400")),
+            "ADAPTSEG_BENCH_WALL_BUDGET_S", "1200")),
         probe_budget_s=float(os.environ.get(
-            "ADAPTSEG_BENCH_PROBE_BUDGET_S", "3900")),
+            "ADAPTSEG_BENCH_PROBE_BUDGET_S", "600")),
         metric_timeout_s=float(os.environ.get(
-            "ADAPTSEG_BENCH_METRIC_TIMEOUT_S", "1500")),
+            "ADAPTSEG_BENCH_METRIC_TIMEOUT_S", "600")),
     ))
 
 
