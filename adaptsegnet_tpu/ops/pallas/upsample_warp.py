@@ -86,7 +86,13 @@ _BLOCK_PX = 1024  # pixel-lane kernels keep the (C*h, bp) t/tmat intermediates
 
 
 def _env_pixel_lanes() -> bool:
-    """UNDECIDED r4 perf gate: transposed 'pixel-lane' kernel variants.
+    """DEFAULT since the r5 on-chip A/B: transposed 'pixel-lane' kernels.
+
+    In-step bench.py --train source-only-warper: 26.55 ms vs 30.43 ms
+    base (3-run medians 27.01/26.49/26.55, scripts/campaign_results.json
+    2026-08-20) — a 13% step win, closing most of the 3-round-old warp
+    roofline gap (ROADMAP gap 2). Set =0 to A/B the lane-over-channel
+    family.
 
     Lanes run over OUTPUT PIXELS and sublanes over (c, ly) — channel-major,
     so each channel's hl-row group is tile-aligned (hl=64 at the training
@@ -96,9 +102,8 @@ def _env_pixel_lanes() -> bool:
     (N=19 -> 128 lanes, 6.7x), the g@S2^T expansion (K=19, 6.7x) and both
     VY@E2 expansions (K=64, 2x) become VPU broadcast-multiplies + an
     aligned sublane reduce; only the K=wl tap contraction and the K=bp dx
-    contraction remain on the MXU. Decide with in-step
-    bench.py --train --mode source-only-warper (the repo's gate rule)."""
-    return os.environ.get("ADAPTSEG_WARP_PIXEL_LANES", "0") == "1"
+    contraction remain on the MXU."""
+    return os.environ.get("ADAPTSEG_WARP_PIXEL_LANES", "1") == "1"
 
 
 def _env_lane_tile() -> bool:
@@ -752,10 +757,11 @@ def upsample_warp(
     for consumers that can work on planes (ops.losses.
     cross_entropy_2d_planar).
 
-    `pixel_lanes=True` (default: the ADAPTSEG_WARP_PIXEL_LANES env gate,
-    see _env_pixel_lanes) runs the transposed kernel family: lanes over
-    output pixels, sublanes over (c, ly), which turns every padded E2/S2
-    expansion matmul into tile-aligned VPU broadcast+reduce work.
+    `pixel_lanes=True` (the DEFAULT since the r5 on-chip A/B, 26.55 vs
+    30.43 ms in-step — ADAPTSEG_WARP_PIXEL_LANES=0 opts out) runs the
+    transposed kernel family: lanes over output pixels, sublanes over
+    (c, ly), which turns every padded E2/S2 expansion matmul into
+    tile-aligned VPU broadcast+reduce work.
     """
     if out_hw is None:
         out_hw = (
