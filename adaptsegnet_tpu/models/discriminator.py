@@ -80,11 +80,26 @@ class FCDiscriminator(nn.Module):
                 conv4x4_s2d_blocked,
                 conv4x4_s2d_phases,
             )
+            from adaptsegnet_tpu.ops.pallas import conv4x4_patch
+            from adaptsegnet_tpu.ops.resize import PlanarPhases
 
             k, b = _Conv4x4Params(cin, self.ndf, name="conv1")()
             k = jnp.asarray(k, self.dtype)
             b = jnp.asarray(b, self.dtype)
-            if len(x) == 1:  # blocked single-tensor form (4C / aligned 4A)
+            if isinstance(x, PlanarPhases):
+                phases = tuple(p.astype(self.dtype) for p in x)
+                if conv4x4_patch.supported(phases[0].shape, self.ndf,
+                                           self.dtype):
+                    x = conv4x4_patch.conv4x4_s2_phases_planar(phases, k, b)
+                else:
+                    # CPU / f32 / odd-shape fallback: transpose to the
+                    # c-minor phase lowering (same math; keeps the parity
+                    # suite exercising this dispatch without a TPU).
+                    x = conv4x4_s2d_phases(
+                        tuple(jnp.transpose(p, (0, 2, 3, 1))
+                              for p in phases), k, b,
+                    )
+            elif len(x) == 1:  # blocked single-tensor form (4C / aligned 4A)
                 x = conv4x4_s2d_blocked(x[0].astype(self.dtype), k, b)
             else:
                 x = conv4x4_s2d_phases(

@@ -234,6 +234,65 @@ def upsample_softmax_s2d(
     return tuple(phases)
 
 
+class PlanarPhases(tuple):
+    """Marker tuple: 4 PLANAR s2d phases (N, C, Hb, Wb), index 2r + s.
+
+    A distinct type (not shape sniffing — small test shapes can make
+    Hb == C ambiguous) so FCDiscriminator dispatches conv1 to the Pallas
+    patch-matrix kernel (ops/pallas/conv4x4_patch.py). Plain tuples keep
+    meaning c-minor phases. Registered as a pytree so it traces."""
+
+    __slots__ = ()
+
+
+jax.tree_util.register_pytree_node(
+    PlanarPhases,
+    lambda xs: (tuple(xs), None),
+    lambda _, xs: PlanarPhases(xs),
+)
+
+
+def upsample_softmax_s2d_planar(
+    logits: jnp.ndarray, out_hw: tuple[int, int]
+) -> PlanarPhases:
+    """upsample_softmax_s2d with PLANAR phase outputs (N, C, Hb, Wb).
+
+    Same values as transposing upsample_softmax_s2d's phases; produced
+    planar from the start: the c-minor (…, 19) phase tensors' HBM tiles
+    pad 19 -> 128 lanes (6.7x write+read waste on every producer and
+    consumer pass), while planes pad only Wb 513 -> 640 (~1.25x). The
+    consumer is the conv1 patch-matrix kernel
+    (ops/pallas/conv4x4_patch.py), whose dgrad hands back planar phase
+    cotangents, so the softmax backward also runs on planes.
+    """
+    n, h, w, c = logits.shape
+    oh, ow = out_hw
+    if oh % 2 or ow % 2:
+        raise ValueError(
+            f"upsample_softmax_s2d_planar requires even out_hw, got {out_hw}"
+        )
+    hp = F32_PRECISION if logits.dtype == jnp.float32 else None
+    x = jnp.transpose(logits, (0, 3, 1, 2))  # tiny low-res tensor
+    hb, wb = oh // 2 + 1, ow // 2 + 1
+    phases = []
+    for r in (0, 1):
+        mh = jnp.asarray(_phase_matrix(h, oh, r), x.dtype)
+        yr = jnp.einsum("uh,nchw->ncuw", mh, x, precision=hp)
+        for s in (0, 1):
+            mw = jnp.asarray(_phase_matrix(w, ow, s), x.dtype)
+            p = jnp.einsum("vw,ncuw->ncuv", mw, yr, precision=hp)
+            p = jax.nn.softmax(p, axis=1)
+            # Same pad-position masking as upsample_softmax_s2d (the
+            # softmax turns zero pad rows into uniform 1/C).
+            rmask = np.ones((hb, 1), np.float32)
+            cmask = np.ones((wb,), np.float32)
+            rmask[0 if r == 0 else -1] = 0.0
+            cmask[0 if s == 0 else -1] = 0.0
+            p = p * jnp.asarray(rmask * cmask[None], p.dtype)
+            phases.append(p)
+    return PlanarPhases(phases)
+
+
 def upsample_logits(
     logits: jnp.ndarray, out_hw: tuple[int, int], exact: bool = True
 ) -> jnp.ndarray:

@@ -40,7 +40,10 @@ from adaptsegnet_tpu.ops import (
     gan_loss,
     upsample_logits,
 )
-from adaptsegnet_tpu.ops.resize import upsample_softmax_s2d
+from adaptsegnet_tpu.ops.resize import (
+    upsample_softmax_s2d,
+    upsample_softmax_s2d_planar,
+)
 from adaptsegnet_tpu.ops.pallas.upsample_warp import upsample_warp
 from adaptsegnet_tpu.train.state import TrainState
 
@@ -242,6 +245,13 @@ def make_adversarial_step(
     # as a keyword value for the equivalence test only.
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
+    # r5 gate (pending its in-step A/B): PLANAR phase production + the
+    # Pallas conv1 patch-matrix kernel (ops/pallas/conv4x4_patch.py) —
+    # targets the 16 K=19 conv1 dots (3.1 ms/step at ~21 TF/s, the r3
+    # ledger's biggest non-roofline item) by building the patch matrix in
+    # VMEM instead of consolidating dots through HBM concats (which lost
+    # twice, see the blocked_s2d NOTE above).
+    conv1_patch = os.environ.get("ADAPTSEG_D_CONV1_PATCH", "0") == "1"
 
     def d_apply(dparams, score_maps):
         return discriminator.apply({"params": dparams}, score_maps)
@@ -297,9 +307,14 @@ def make_adversarial_step(
                     # runs 4 K=4C dots instead of 16 K=C
                     # (conv4x4_s2d_blocked). Default False — see the
                     # blocked_s2d NOTE above (lost the r4 in-step A/B).
-                    sm_of = lambda raw: upsample_softmax_s2d(
-                        raw, input_hw, blocked=blocked_s2d
-                    )
+                    if conv1_patch:
+                        sm_of = lambda raw: upsample_softmax_s2d_planar(
+                            raw, input_hw
+                        )
+                    else:
+                        sm_of = lambda raw: upsample_softmax_s2d(
+                            raw, input_hw, blocked=blocked_s2d
+                        )
                     sm2_t = sm_of(raw_t[1])
                     sm2_s = sm_of(raw_s[1])
                     sm1_t = sm_of(raw_t[0]) if multi else None

@@ -315,6 +315,58 @@ def test_blocked_s2d_gate_matches_phase_path(rng, mode):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_conv1_patch_gate_matches_phase_path(rng, monkeypatch):
+    """ADAPTSEG_D_CONV1_PATCH=1 (planar phase production + the conv1
+    patch-matrix dispatch, r5) must reproduce the default phase path's
+    multi-level step exactly: same losses, same updated params. On CPU
+    the dispatch takes the transpose fallback; the Pallas kernel itself
+    is torch-pinned in tests/test_conv4x4_patch.py."""
+    from adaptsegnet_tpu.models import FCDiscriminator
+
+    def build():
+        model = TinySeg()
+        kg, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+        gvars = model.init(kg, jnp.zeros((1, *HW, 3)))
+        labels = generator_param_labels(gvars["params"], all_1x=True)
+        gstate = GeneratorState.create(
+            gvars["params"], gvars.get("batch_stats", {}),
+            make_generator_tx(labels, base_lr=0.01, num_steps=100),
+        )
+        disc = FCDiscriminator(num_classes=C, ndf=4)
+        dx = jnp.zeros((1, *HW, C))
+        mk = lambda k: DiscriminatorState.create(
+            disc.init(k, dx)["params"], make_discriminator_tx(num_steps=100)
+        )
+        return model, disc, TrainState(
+            step=jnp.zeros((), jnp.int32), generator=gstate,
+            d1=mk(k1), d2=mk(k2), warper=None,
+        )
+
+    batch = make_batch(rng)
+    results = {}
+    for gate in ("0", "1"):
+        monkeypatch.setenv("ADAPTSEG_D_CONV1_PATCH", gate)
+        model, disc, state = build()
+        step = make_adversarial_step(
+            model, disc, level="multi-level", input_hw=HW, donate=False,
+        )
+        state, metrics = step(state, batch)
+        results[gate] = (state, metrics)
+
+    m0, m1 = results["0"][1], results["1"][1]
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(results["0"][0].generator.params),
+                    jax.tree.leaves(results["1"][0].generator.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(results["0"][0].d2.params),
+                    jax.tree.leaves(results["1"][0].d2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_level_validation():
     model, disc, _ = make_states()
     with pytest.raises(NotImplementedError, match="level choice"):
