@@ -68,6 +68,16 @@ def _fwd_conv(x, k, dilation, f32_exact, use_pallas=False):
     cout = k.shape[-1]
     if use_pallas and conv3x3_dil.supported(x, cout, d):
         return conv3x3_dil.conv3x3_dil_mxu(x, k, d)
+    # r5 gate (pending its eval-bs8 A/B, verdict r4 #5): NB-images-per-
+    # block Pallas fwd in the BATCHED eval graph only (n > 1 keeps bs1
+    # eval and the train step on their decided lowerings).
+    if (
+        not use_pallas
+        and x.shape[0] > 1
+        and os.environ.get("ADAPTSEG_EVAL_BATCHED_CONV", "0") == "1"
+        and conv3x3_dil.supported_batched(x, cout, d)
+    ):
+        return conv3x3_dil.conv3x3_dil_mxu_batched(x, k, d)
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1),
         padding=((d, d), (d, d)),

@@ -93,6 +93,114 @@ def supported(x: jnp.ndarray, cout: int, dilation: int) -> bool:
     )
 
 
+# ---------------------------------------------------------- batch-blocked
+# r5 experiment (verdict r4 #5): the bs8-vs-bs1 eval gap is XLA's dilated
+# emitter running ~30% slower PER IMAGE at batch 8 (ops/conv3x3.py NOTE),
+# and the bs1-shaped Pallas fwd lost in the bs8 eval graph because its 64
+# kernel boundaries (8 imgs x 8 row blocks) block XLA's fusion. This
+# variant processes NB images per grid step — NB x fewer boundaries, NB x
+# larger M per dot — the one untried axis the NOTE records.
+
+
+def _kernel_batched(s0_ref, s1_ref, k_ref, o_ref, acc_ref,
+                    *, d, r, w, cin, cout, nb):
+    s0 = s0_ref[:]
+    s1 = s1_ref[:]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        start = dy * d
+        if start == 0:
+            window = s0
+        elif start >= r:
+            window = s1[:, start - r : start]
+        else:
+            window = jnp.concatenate([s0[:, start:], s1[:, :start]], axis=1)
+        for dx in range(3):
+            # (NB, R, W, C) -> (NB*R*W, C): minor dim 128-aligned, so the
+            # collapse is a supported layout-preserving reshape.
+            tap = window[:, :, dx * d : dx * d + w, :].reshape(
+                nb * r * w, cin)
+            kblk = k_ref[(3 * dy + dx) * cin : (3 * dy + dx + 1) * cin, :]
+            acc_ref[:] += jnp.dot(
+                tap, kblk, preferred_element_type=jnp.float32
+            )
+    o_ref[:] = acc_ref[:].reshape(nb, r, w, cout).astype(o_ref.dtype)
+
+
+def _pick_nb(n, h, w, cin, cout, d, r, budget=12 * 2**20):
+    """Largest batch sub-block whose VMEM residency (two slabs double-
+    buffered + f32 acc + bf16 tap + kernel matrix) fits the budget."""
+    wp = w + 2 * d
+    for nb in (8, 4, 2):
+        slabs = 2 * 2 * nb * r * wp * cin * 2
+        acc = nb * r * w * cout * 4
+        tap = nb * r * w * cin * 2
+        kmat = 9 * cin * cout * 2
+        if n % nb == 0 and slabs + acc + tap + kmat <= budget:
+            return nb
+    return 1
+
+
+def supported_batched(x: jnp.ndarray, cout: int, dilation: int) -> bool:
+    n, h, w, cin = x.shape
+    d = dilation
+    if d not in (1, 2, 4):
+        return False
+    r = 2 * d if 2 * d >= 8 else 8
+    return (
+        x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and cin % 128 == 0
+        and cout % 128 == 0
+        and h % r == 0
+        and h // r >= 2
+        and _pick_nb(n, h, w, cin, cout, d, r) > 1
+    )
+
+
+def conv3x3_dil_mxu_batched(
+    x: jnp.ndarray, k: jnp.ndarray, dilation: int,
+    interpret: bool = False, nb: int | None = None,
+) -> jnp.ndarray:
+    """conv3x3_dil_mxu with NB images per grid step (module NOTE above).
+    Forward-only experiment for the batched eval graph; the train step
+    keeps the bs1-tuned kernel."""
+    n, h, w, cin = x.shape
+    cout = k.shape[-1]
+    d = dilation
+    r = 2 * d if 2 * d >= 8 else 8
+    if nb is None:
+        nb = _pick_nb(n, h, w, cin, cout, d, r)
+    assert n % nb == 0 and h % r == 0 and h // r >= 2, (n, nb, h, r)
+    wp = w + 2 * d
+    xp = jnp.pad(x, ((0, 0), (d, 2 * r - d), (d, d), (0, 0)))
+    kf = k.reshape(9 * cin, cout)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_batched, d=d, r=r, w=w, cin=cin, cout=cout, nb=nb
+        ),
+        grid=(n // nb, h // r),
+        in_specs=[
+            pl.BlockSpec((nb, r, wp, cin), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, r, wp, cin), lambda i, t: (i, t + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * cin, cout), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, r, w, cout), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((nb * r * w, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * cin * cout,
+            bytes_accessed=2 * n * h * w * (2 * cin + cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, xp, kf)
+
+
 def conv3x3_dil_mxu(
     x: jnp.ndarray, k: jnp.ndarray, dilation: int,
     interpret: bool = False,
