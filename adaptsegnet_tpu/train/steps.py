@@ -245,13 +245,18 @@ def make_adversarial_step(
     # as a keyword value for the equivalence test only.
     if level not in ("single-level", "multi-level"):
         raise NotImplementedError(f"level choice {level!r} is not implemented")
-    # r5 gate (pending its in-step A/B): PLANAR phase production + the
-    # Pallas conv1 patch-matrix kernel (ops/pallas/conv4x4_patch.py) —
-    # targets the 16 K=19 conv1 dots (3.1 ms/step at ~21 TF/s, the r3
-    # ledger's biggest non-roofline item) by building the patch matrix in
-    # VMEM instead of consolidating dots through HBM concats (which lost
-    # twice, see the blocked_s2d NOTE above).
-    conv1_patch = os.environ.get("ADAPTSEG_D_CONV1_PATCH", "0") == "1"
+    # DEFAULT since the r5 on-chip A/B (3-run in-step medians, bench.py
+    # --train multi-level: 44.74 ms vs 44.89 ms base, runs 44.73/44.88/
+    # 44.74 vs 44.89/44.85/44.92 — scripts/campaign_results.json
+    # 2026-08-20): PLANAR phase production + the Pallas conv1 patch-matrix
+    # kernel (ops/pallas/conv4x4_patch.py) — targets the 16 K=19 conv1
+    # dots (3.1 ms/step at ~21 TF/s, the r3 ledger's biggest non-roofline
+    # item) by building the patch matrix in VMEM instead of consolidating
+    # dots through HBM concats (which lost twice, see the blocked_s2d NOTE
+    # above). The win is small (~0.15 ms): the kernel replaces the dots at
+    # roofline but the planar phase producer gives some of it back — see
+    # the r5 ledger in ROADMAP.md. Set =0 for the lane-phase + XLA-dot arm.
+    conv1_patch = os.environ.get("ADAPTSEG_D_CONV1_PATCH", "1") == "1"
 
     def d_apply(dparams, score_maps):
         return discriminator.apply({"params": dparams}, score_maps)

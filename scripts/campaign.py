@@ -10,14 +10,15 @@ Gate discipline (ROADMAP.md / ops NOTEs): only IN-STEP bench.py numbers
 flip a gate's default. Each gate is A/B'd against the baseline arm of the
 train mode it affects. Live gate arms:
 
-  ADAPTSEG_WARP_PIXEL_LANES -> source-only-warper (r4 pixel-lane warp
-                               kernel family, pending its in-step A/B)
+  ADAPTSEG_EVAL_BATCHED_CONV -> eval bs8 (r5 batch-blocked dilated-conv
+                                fwd, pending its eval-bs8 A/B)
 
-2026-08-19 outcomes (medians in campaign_results.json): STEM_WGRAD_RP and
-WARP_PLANAR_CE won and are now defaults; PALLAS_CONV3X3_D1, D_BLOCKED_S2D,
-WARP_LANE_TILE, ASPP_ALIGNED and D_ALIGNED_S2D lost and their env gates
-were retired (NOTEs at the sites; losing medians listed at the configs
-table below).
+2026-08-19/20 outcomes (medians in campaign_results.json): STEM_WGRAD_RP,
+WARP_PLANAR_CE, WARP_PIXEL_LANES (26.55 vs 30.43) and D_CONV1_PATCH
+(44.74 vs 44.89) won and are now defaults; PALLAS_CONV3X3_D1,
+D_BLOCKED_S2D, WARP_LANE_TILE, ASPP_ALIGNED and D_ALIGNED_S2D lost and
+their env gates were retired (NOTEs at the sites; losing medians listed
+at the configs table below).
 
 Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
 """
@@ -104,7 +105,15 @@ def main():
         ("sow_gate_warp_pixel_lanes", sow, {"ADAPTSEG_WARP_PIXEL_LANES": "1"}),
         # r5 conv1 patch-matrix kernel (ops/pallas/conv4x4_patch.py):
         # planar phases + in-VMEM patch build vs the 16 K=19 XLA dots.
+        # WON its 2026-08-20 A/B (44.74 vs 44.89) and is now the default;
+        # this arm now re-measures the default (kept for history).
         ("ml_gate_d_conv1_patch", ml, {"ADAPTSEG_D_CONV1_PATCH": "1"}),
+        # r5 batched-eval dilated-conv gate (verdict r4 #5): NB-image-
+        # blocked Pallas conv3x3_dil fwd in the bs8 eval graph only
+        # (ops/conv3x3.py _fwd_conv; bs1 eval + train are unaffected).
+        ("eval_gate_bs8_batched_conv",
+         ["--eval-only", "--batch", "8", "--iters", "30"],
+         {"ADAPTSEG_EVAL_BATCHED_CONV": "1"}),
         ("train_singlelevel_bf16_bs1_ms", train + ["single-level"], {}),
         ("train_sourceonly_bf16_bs1_ms", train + ["source-only"], {}),
         ("eval_bf16_bs1_img_per_s",

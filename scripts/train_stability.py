@@ -64,6 +64,12 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--quirk", action="store_true")
     p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the generator LR (the 'hot' arm: the "
+                   "shipped 2.5e-4 barely moves CE from RANDOM init in "
+                   "300 steps — the reference always starts from ImageNet "
+                   "weights — so a 0.01 arm is used to demonstrate the "
+                   "optimizer actually learns, not just stays finite)")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -85,6 +91,7 @@ def main():
         optim_dup_quirk=args.quirk,
         # Poly LR over the reference horizon: a 300-step prefix of the
         # real schedule, exactly what a real run's first steps see.
+        **({"learning_rate": args.lr} if args.lr else {}),
     )
     state, modules = build_train_state(cfg, example_hw=hw)
     step_fn = make_adversarial_step(
@@ -92,9 +99,12 @@ def main():
         input_hw=hw, iter_size=1, donate=True,
     )
 
+    arm = "quirk" if args.quirk else "base"
+    if args.lr:
+        arm = f"hotlr{args.lr:g}" + ("_quirk" if args.quirk else "")
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"stability_{'quirk' if args.quirk else 'base'}.jsonl",
+        f"stability_{arm}.jsonl",
     )
     rng = np.random.default_rng(1338)
     seg2 = []
@@ -128,7 +138,7 @@ def main():
     head, tail = float(np.mean(seg2[:k])), float(np.mean(seg2[-k:]))
     ok = tail < head
     print(json.dumps({
-        "arm": "quirk" if args.quirk else "base",
+        "arm": arm,
         "steps": args.steps, "seg2_first10pct": round(head, 4),
         "seg2_last10pct": round(tail, 4), "decreasing": ok,
         "out": out_path,
