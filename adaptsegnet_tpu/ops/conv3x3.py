@@ -64,20 +64,21 @@ def _fwd_conv(x, k, dilation, f32_exact, use_pallas=False):
     # at batch 8 (97 -> 127 us/img/conv across layer3's 23 blocks,
     # per-program xprof compare); use batch 1 per chip and scale via the
     # data mesh.
+    # NOTE (measured 2026-08-21, don't repeat): the r5 batch-blocked
+    # Pallas fwd (conv3x3_dil_mxu_batched, NB images per block; was
+    # gated ADAPTSEG_EVAL_BATCHED_CONV) LOST its eval-bs8 A/B: 173.34
+    # img/s (3-run median, runs 173.34/173.05/174.98) vs 181.8 baseline
+    # — scripts/campaign_results.json. With the r3 evidence (XLA's
+    # dilated emitter ~30% more device time PER IMAGE at bs8, 97 -> 127
+    # us/img/conv; every per-op-winning Pallas/dot alternative losing to
+    # eval's whole-graph fusion), the bs8-slower-than-bs1 gap is now a
+    # DECIDED fact at this shape: batch 1 per chip + the data-parallel
+    # mesh is the recommendation, not a workaround. The batched kernel
+    # stays (interpret-mode parity test) as the record of the attempt.
     d = dilation
     cout = k.shape[-1]
     if use_pallas and conv3x3_dil.supported(x, cout, d):
         return conv3x3_dil.conv3x3_dil_mxu(x, k, d)
-    # r5 gate (pending its eval-bs8 A/B, verdict r4 #5): NB-images-per-
-    # block Pallas fwd in the BATCHED eval graph only (n > 1 keeps bs1
-    # eval and the train step on their decided lowerings).
-    if (
-        not use_pallas
-        and x.shape[0] > 1
-        and os.environ.get("ADAPTSEG_EVAL_BATCHED_CONV", "0") == "1"
-        and conv3x3_dil.supported_batched(x, cout, d)
-    ):
-        return conv3x3_dil.conv3x3_dil_mxu_batched(x, k, d)
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1),
         padding=((d, d), (d, d)),

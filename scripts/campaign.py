@@ -7,18 +7,17 @@ and writes medians to scripts/campaign_results.json incrementally, so a
 tunnel wedge mid-campaign keeps everything measured so far.
 
 Gate discipline (ROADMAP.md / ops NOTEs): only IN-STEP bench.py numbers
-flip a gate's default. Each gate is A/B'd against the baseline arm of the
-train mode it affects. Live gate arms:
+flip a gate's default. Each gate is A/B'd against the baseline arm of
+the train mode it affects. Live gate arms: NONE — every gate through
+round 5 is decided.
 
-  ADAPTSEG_EVAL_BATCHED_CONV -> eval bs8 (r5 batch-blocked dilated-conv
-                                fwd, pending its eval-bs8 A/B)
-
-2026-08-19/20 outcomes (medians in campaign_results.json): STEM_WGRAD_RP,
-WARP_PLANAR_CE, WARP_PIXEL_LANES (26.55 vs 30.43) and D_CONV1_PATCH
-(44.74 vs 44.89) won and are now defaults; PALLAS_CONV3X3_D1,
-D_BLOCKED_S2D, WARP_LANE_TILE, ASPP_ALIGNED and D_ALIGNED_S2D lost and
-their env gates were retired (NOTEs at the sites; losing medians listed
-at the configs table below).
+2026-08-19/20/21 outcomes (medians in campaign_results.json):
+STEM_WGRAD_RP, WARP_PLANAR_CE, WARP_PIXEL_LANES (26.55 vs 30.43) and
+D_CONV1_PATCH (44.74 vs 44.89) won and are now defaults;
+PALLAS_CONV3X3_D1, D_BLOCKED_S2D, WARP_LANE_TILE, ASPP_ALIGNED,
+D_ALIGNED_S2D and EVAL_BATCHED_CONV (173.34 vs 181.8 img/s bs8) lost
+and their env gates were retired (NOTEs at the sites; losing medians
+listed at the configs table below).
 
 Usage: python scripts/campaign.py [--runs 3] [--iters 15] [--quick]
 """
@@ -108,12 +107,11 @@ def main():
         # WON its 2026-08-20 A/B (44.74 vs 44.89) and is now the default;
         # this arm now re-measures the default (kept for history).
         ("ml_gate_d_conv1_patch", ml, {"ADAPTSEG_D_CONV1_PATCH": "1"}),
-        # r5 batched-eval dilated-conv gate (verdict r4 #5): NB-image-
-        # blocked Pallas conv3x3_dil fwd in the bs8 eval graph only
-        # (ops/conv3x3.py _fwd_conv; bs1 eval + train are unaffected).
-        ("eval_gate_bs8_batched_conv",
-         ["--eval-only", "--batch", "8", "--iters", "30"],
-         {"ADAPTSEG_EVAL_BATCHED_CONV": "1"}),
+        # eval_gate_bs8_batched_conv (NB-image-blocked Pallas
+        # conv3x3_dil fwd in the bs8 eval graph) LOST its 2026-08-21
+        # A/B: 173.34 vs 181.8 img/s — gate retired, NOTE at
+        # ops/conv3x3.py _fwd_conv; arm removed so a re-run can't record
+        # a baseline as a gate number.
         ("train_singlelevel_bf16_bs1_ms", train + ["single-level"], {}),
         ("train_sourceonly_bf16_bs1_ms", train + ["source-only"], {}),
         ("eval_bf16_bs1_img_per_s",
